@@ -79,6 +79,52 @@ def assemble_window_hessian(blocks: jax.Array, N: int, dim: int, z_dim: int) -> 
     return H
 
 
+def check_objective(obj, traj: Trajectory, atol: float = 1e-5) -> None:
+    """Validate an objective's AD gradient/Hessian against finite differences
+    (the reference's ``test_objective``, `src/objectives/_objectives.jl:261-336`)."""
+    from ..objectives.base import objective_value
+
+    @jax.jit
+    def val(zvec):
+        return objective_value(obj, traj.from_zvec(zvec))
+
+    z0 = np.asarray(traj.to_zvec(), dtype=np.float64)
+
+    g_ad = np.asarray(jax.jit(jax.grad(val))(jnp.asarray(z0)))
+    g_fd = finite_difference_jacobian(lambda z: np.asarray([val(jnp.asarray(z))]), z0)[0]
+    np.testing.assert_allclose(g_ad, g_fd, atol=atol, rtol=0)
+
+    H_ad = np.asarray(jax.jit(jax.hessian(val))(jnp.asarray(z0)))
+    H_fd = finite_difference_hessian(lambda z: float(val(jnp.asarray(z))), z0)
+    np.testing.assert_allclose(H_ad, H_fd, atol=max(atol * 100, 1e-4), rtol=0)
+
+
+def check_constraint(con, traj: Trajectory, atol: float = 1e-5) -> None:
+    """Validate a nonlinear constraint's AD Jacobian/Hessian against finite
+    differences (the reference's ``test_constraint``,
+    `src/constraints/_constraints.jl:150-238`)."""
+
+    @jax.jit
+    def flat(zvec):
+        return con.evaluate_flat(traj.from_zvec(zvec))
+
+    z0 = np.asarray(traj.to_zvec(), dtype=np.float64)
+    J_ad = np.asarray(jax.jit(jax.jacfwd(flat))(jnp.asarray(z0)))
+    J_fd = finite_difference_jacobian(lambda z: np.asarray(flat(jnp.asarray(z))), z0)
+    np.testing.assert_allclose(J_ad, J_fd, atol=atol, rtol=0)
+
+    rng = np.random.default_rng(7)
+    mu = rng.normal(size=(J_ad.shape[0],))
+
+    @jax.jit
+    def lagr(zvec):
+        return jnp.dot(jnp.asarray(mu), flat(zvec))
+
+    H_ad = np.asarray(jax.jit(jax.hessian(lagr))(jnp.asarray(z0)))
+    H_fd = finite_difference_hessian(lambda z: float(lagr(jnp.asarray(z))), z0)
+    np.testing.assert_allclose(H_ad, H_fd, atol=max(atol * 100, 1e-4), rtol=0)
+
+
 def check_integrator(
     integrator,
     traj: Trajectory,
