@@ -1,0 +1,222 @@
+"""Problem canonicalization: compile a DirectTrajOptProblem into NLP callables.
+
+This is the TPU-native replacement for the reference's ``Evaluator``
+(`/root/reference/src/solvers/evaluator.jl:99-289`): where the reference
+concatenates sparsity patterns and builds linear index maps for MOI callbacks,
+here the problem lowers (at trace time, from static metadata only) into
+
+    min  f(Z)
+    s.t. c_eq(Z) = 0      [dynamics ; affine rows A_eq Z − b_eq ; nonlinear eq]
+         c_in(Z) ≤ 0      [affine rows A_in Z − b_in ; nonlinear ineq]
+         lb ≤ Z ≤ ub      (±inf where unbounded)
+         Z[fix_idx] = fix_val   (pins, handled by projection)
+
+with every residual a pure, batched JAX function of the flat decision vector
+``Z`` (reference layout ``[z_1; …; z_N; g]``). Derivatives are obtained by AD
+in the solver; there is no sparsity bookkeeping to maintain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constraints.base import LinearCanon, NonlinearConstraintBase
+from ..integrators.base import stack_residuals
+from ..problem import DirectTrajOptProblem
+from ..trajectory import Layout
+
+__all__ = ["CanonicalNLP", "make_nlp"]
+
+
+@dataclass
+class CanonicalNLP:
+    """Trace-time NLP view of a problem. Holds closures over problem leaves."""
+
+    layout: Layout
+    z_dim: int
+    n_dyn: int  # dynamics equality rows
+    n_lin_eq: int
+    n_nl_eq: int
+    n_lin_in: int
+    n_nl_in: int
+    # pins
+    fix_idx: np.ndarray  # static coordinate indices (unique)
+    fix_val: jax.Array  # (len(fix_idx),)
+    free_mask: jax.Array  # (z_dim,) 1.0 where free, 0.0 where pinned
+    # bounds (pinned coords forced to ±inf → no barrier)
+    lb: jax.Array
+    ub: jax.Array
+    # affine rows
+    A_eq: jax.Array  # (n_lin_eq, z_dim) dense
+    b_eq: jax.Array
+    A_in: jax.Array
+    b_in: jax.Array
+    # callables
+    objective: Callable  # (Z,) -> scalar
+    dynamics: Callable  # (Z,) -> (n_dyn,)
+    nl_eq: Callable  # (Z,) -> (n_nl_eq,)
+    nl_in: Callable  # (Z,) -> (n_nl_in,)
+
+    @property
+    def n_eq(self) -> int:
+        return self.n_dyn + self.n_lin_eq + self.n_nl_eq
+
+    @property
+    def n_in(self) -> int:
+        return self.n_lin_in + self.n_nl_in
+
+    def c_eq(self, Z: jax.Array) -> jax.Array:
+        parts = [self.dynamics(Z)]
+        if self.n_lin_eq:
+            parts.append(self.A_eq @ Z - self.b_eq)
+        if self.n_nl_eq:
+            parts.append(self.nl_eq(Z))
+        return jnp.concatenate(parts) if parts else jnp.zeros((0,), dtype=Z.dtype)
+
+    def c_in(self, Z: jax.Array) -> jax.Array:
+        parts = []
+        if self.n_lin_in:
+            parts.append(self.A_in @ Z - self.b_in)
+        if self.n_nl_in:
+            parts.append(self.nl_in(Z))
+        return (
+            jnp.concatenate(parts) if parts else jnp.zeros((0,), dtype=Z.dtype)
+        )
+
+    def apply_pins(self, Z: jax.Array) -> jax.Array:
+        """Overwrite pinned coordinates with their fixed values."""
+        if len(self.fix_idx) == 0:
+            return Z
+        return Z.at[..., jnp.asarray(self.fix_idx)].set(self.fix_val)
+
+
+def make_nlp(problem: DirectTrajOptProblem, dtype=None) -> CanonicalNLP:
+    """Lower a problem to canonical NLP form. Runs at trace time: all index
+    computation uses static metadata; closures capture problem leaves."""
+    traj = problem.trajectory
+    layout = traj.layout
+    z_dim = layout.z_dim
+    if dtype is None:
+        dtype = traj.knot_matrix().dtype
+
+    # ---- linear constraints → canonical pins/bounds/rows ---------------- #
+    canon = LinearCanon(z_dim=z_dim)
+    nl_cons: list[NonlinearConstraintBase] = []
+    for con in problem.constraints:
+        if isinstance(con, NonlinearConstraintBase):
+            nl_cons.append(con)
+        else:
+            con.lower(layout, canon)
+
+    # pins: later contributions override earlier ones
+    if canon.fix_idx:
+        all_idx = np.concatenate(canon.fix_idx)
+        uniq, inverse = np.unique(all_idx, return_inverse=True)
+        vals = jnp.zeros((len(uniq),), dtype=dtype)
+        pos = 0
+        for idx_arr, val_arr in zip(canon.fix_idx, canon.fix_val):
+            n = len(idx_arr)
+            vals = vals.at[jnp.asarray(inverse[pos : pos + n])].set(
+                val_arr.astype(dtype)
+            )
+            pos += n
+        fix_idx, fix_val = uniq, vals
+    else:
+        fix_idx = np.zeros((0,), dtype=np.int64)
+        fix_val = jnp.zeros((0,), dtype=dtype)
+
+    free_mask = jnp.ones((z_dim,), dtype=dtype).at[jnp.asarray(fix_idx)].set(0.0) \
+        if len(fix_idx) else jnp.ones((z_dim,), dtype=dtype)
+
+    # bounds: intersection (max of lbs / min of ubs); pinned coords excluded
+    lb = jnp.full((z_dim,), -jnp.inf, dtype=dtype)
+    ub = jnp.full((z_dim,), jnp.inf, dtype=dtype)
+    for idx, val in zip(canon.lb_idx, canon.lb_val):
+        lb = lb.at[jnp.asarray(idx)].max(val.astype(dtype))
+    for idx, val in zip(canon.ub_idx, canon.ub_val):
+        ub = ub.at[jnp.asarray(idx)].min(val.astype(dtype))
+    if len(fix_idx):
+        fi = jnp.asarray(fix_idx)
+        lb = lb.at[fi].set(-jnp.inf)
+        ub = ub.at[fi].set(jnp.inf)
+
+    # affine rows → dense matrices (row counts are small)
+    def build_rows(entries):
+        n_rows = sum(e[4] for e in entries)
+        A = jnp.zeros((n_rows, z_dim), dtype=dtype)
+        b = jnp.zeros((n_rows,), dtype=dtype)
+        off = 0
+        for rows, cols, vals, rhs, n in entries:
+            A = A.at[jnp.asarray(rows + off), jnp.asarray(cols)].add(
+                vals.astype(dtype)
+            )
+            b = b.at[off : off + n].set(rhs.astype(dtype))
+            off += n
+        return A, b, n_rows
+
+    A_eq, b_eq, n_lin_eq = build_rows(canon.eq_rows)
+    A_in, b_in, n_lin_in = build_rows(canon.ineq_rows)
+
+    # ---- dynamics ------------------------------------------------------- #
+    integrators = problem.integrators
+    n_dyn = sum(i.residual_dim(layout) for i in integrators) * (layout.N - 1)
+
+    def dynamics(Z):
+        zmat = Z[: layout.N * layout.dim].reshape(layout.N, layout.dim)
+        parts = [
+            stack_residuals(integ, layout, zmat).reshape(-1)
+            for integ in integrators
+        ]
+        return (
+            jnp.concatenate(parts) if parts else jnp.zeros((0,), dtype=Z.dtype)
+        )
+
+    # ---- nonlinear constraints ------------------------------------------ #
+    eq_cons = [c for c in nl_cons if c.equality]
+    in_cons = [c for c in nl_cons if not c.equality]
+    n_nl_eq = sum(c.constraint_dim(layout) for c in eq_cons)
+    n_nl_in = sum(c.constraint_dim(layout) for c in in_cons)
+
+    def _eval_group(cons, Z):
+        tr = traj.from_zvec(Z)
+        return jnp.concatenate([c.evaluate_flat(tr) for c in cons])
+
+    def nl_eq(Z):
+        return _eval_group(eq_cons, Z)
+
+    def nl_in(Z):
+        return _eval_group(in_cons, Z)
+
+    # ---- objective ------------------------------------------------------ #
+    from ..objectives.base import objective_value
+
+    def objective(Z):
+        return objective_value(problem.objective, traj.from_zvec(Z))
+
+    return CanonicalNLP(
+        layout=layout,
+        z_dim=z_dim,
+        n_dyn=n_dyn,
+        n_lin_eq=n_lin_eq,
+        n_nl_eq=n_nl_eq,
+        n_lin_in=n_lin_in,
+        n_nl_in=n_nl_in,
+        fix_idx=fix_idx,
+        fix_val=fix_val,
+        free_mask=free_mask,
+        lb=lb,
+        ub=ub,
+        A_eq=A_eq,
+        b_eq=b_eq,
+        A_in=A_in,
+        b_in=b_in,
+        objective=objective,
+        dynamics=dynamics,
+        nl_eq=nl_eq,
+        nl_in=nl_in,
+    )
