@@ -8,7 +8,49 @@ primal-dual interior-point method with block-structured KKT factorization,
 vmapped over scenario batches and shardable over device meshes.
 """
 
+from .constraints import (
+    AllEqualConstraint,
+    BoundsConstraint,
+    DurationConstraint,
+    EqualityConstraint,
+    GlobalBoundsConstraint,
+    GlobalEqualityConstraint,
+    GlobalLinearConstraint,
+    L1SlackConstraint,
+    NonlinearGlobalConstraint,
+    NonlinearGlobalKnotPointConstraint,
+    NonlinearKnotPointConstraint,
+    SymmetricControlConstraint,
+    SymmetryConstraint,
+    TimeConsistencyConstraint,
+    TimeStepsAllEqualConstraint,
+    TotalConstraint,
+)
+from .integrators import BilinearIntegrator, DerivativeIntegrator
 from .module import HashableArray, module, static_field
+from .objectives import (
+    CompositeObjective,
+    GlobalKnotPointObjective,
+    GlobalObjective,
+    GlobalTerminalObjective,
+    KnotPointObjective,
+    LinearRegularizer,
+    MinimumTimeObjective,
+    NullObjective,
+    QuadraticRegularizer,
+    TerminalObjective,
+    objective_value,
+)
+from .problem import DirectTrajOptProblem, get_trajectory_constraints
+from .rollout import bilinear_rollout, rollout, rollout_fidelity
+from .solvers import (
+    IPMOptions,
+    SolveResult,
+    make_nlp,
+    solve,
+    solve_batch,
+    solve_jit,
+)
 from .trajectory import Layout, Trajectory, traj_index, traj_slice
 
 __version__ = "0.1.0"

@@ -61,6 +61,12 @@ class CanonicalNLP:
     dynamics: Callable  # (Z,) -> (n_dyn,)
     nl_eq: Callable  # (Z,) -> (n_nl_eq,)
     nl_in: Callable  # (Z,) -> (n_nl_in,)
+    # component references for structured derivative assembly
+    integrators: tuple = ()
+    objective_obj: object = None
+    eq_cons: tuple = ()
+    in_cons: tuple = ()
+    traj: object = None
 
     @property
     def n_eq(self) -> int:
@@ -219,4 +225,9 @@ def make_nlp(problem: DirectTrajOptProblem, dtype=None) -> CanonicalNLP:
         dynamics=dynamics,
         nl_eq=nl_eq,
         nl_in=nl_in,
+        integrators=tuple(integrators),
+        objective_obj=problem.objective,
+        eq_cons=tuple(eq_cons),
+        in_cons=tuple(in_cons),
+        traj=traj,
     )

@@ -1,0 +1,58 @@
+"""Solver options.
+
+The TPU-native analog of ``IpoptOptions``
+(`/root/reference/src/solvers/ipopt_solver/options.jl:33-91`): a pytree of
+numeric knobs (leaves, so a compiled solve can take different tolerances
+without retracing) plus static structural switches. Field names follow Ipopt
+where the concept carries over (tol, constr_viol_tol, max_iter, mu_init...).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..module import module, static_field
+
+__all__ = ["IPMOptions"]
+
+
+@module
+class IPMOptions:
+    # -- termination (Ipopt defaults: options.jl:34-39) -------------------- #
+    tol: float = 1e-8
+    constr_viol_tol: float = 1e-6
+    dual_inf_tol: float = 1.0
+    compl_inf_tol: float = 1e-4
+    acceptable_tol: float = 1e-6
+    acceptable_iter: int = static_field(default=15)
+    # -- barrier ----------------------------------------------------------- #
+    mu_init: float = 1e-1
+    mu_min: float = 1e-12
+    kappa_mu: float = 0.2  # linear μ decrease factor
+    theta_mu: float = 1.5  # superlinear μ decrease exponent
+    kappa_epsilon: float = 10.0  # inner-loop tolerance κ_ε·μ
+    tau_min: float = 0.99  # fraction-to-boundary
+    kappa_sigma: float = 1e10  # dual safeguard clamp
+    bound_push: float = 1e-2  # κ₁: push initial point inside bounds
+    bound_frac: float = 1e-2  # κ₂
+    slack_min: float = 1e-8
+    # -- line search ------------------------------------------------------- #
+    eta_ls: float = 1e-4  # Armijo constant
+    rho_init: float = 1.0  # initial ℓ1 penalty
+    theta_rho: float = 0.5
+    max_ls: int = static_field(default=25)
+    # -- inertia regularization ------------------------------------------- #
+    delta_w_init: float = 1e-8
+    delta_w_max: float = 1e10
+    delta_w_factor: float = 100.0
+    delta_c: float = 1e-8
+    # -- iteration limits (static: control loop structure) ----------------- #
+    max_iter: int = static_field(default=1000)
+    # -- diagnostics: per-iteration jax.debug.print (static) --------------- #
+    print_level: int = static_field(default=0)
+
+    def astype(self, dtype):
+        """Cast all numeric leaves to the solve dtype."""
+        import jax
+
+        return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), self)

@@ -1,0 +1,108 @@
+"""Public solve API.
+
+``solve(problem)`` is the analog of the reference's
+``solve!(prob; options, kwargs...)`` (`/root/reference/src/solvers/solve.jl:195-205`):
+it lowers the problem, runs the on-device IPM from the trajectory's current
+data (warm start — the trajectory *is* the checkpoint, matching the
+reference's ``VariablePrimalStart`` contract,
+`src/solvers/ipopt_solver/solver.jl:160-175`), and returns a new problem with
+the solution written back plus a result record. Because problems are pytrees,
+``solve_batch`` is just ``vmap(solve)`` — thousands of warm-started scenario
+solves per chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..problem import DirectTrajOptProblem
+from .canonical import make_nlp
+from .ipm import IPMResult, ipm_solve
+from .options import IPMOptions
+
+__all__ = ["SolveResult", "solve", "solve_batch", "solve_jit"]
+
+
+class SolveResult(NamedTuple):
+    problem: DirectTrajOptProblem  # with solution written into the trajectory
+    iterations: jax.Array
+    converged: jax.Array
+    status: jax.Array  # 0=optimal, 1=acceptable, 2=iteration limit
+    kkt_error: jax.Array
+    objective: jax.Array
+    ipm: IPMResult
+
+
+def _solve_impl(problem: DirectTrajOptProblem, options: IPMOptions) -> SolveResult:
+    nlp = make_nlp(problem)
+    Z0 = problem.trajectory.to_zvec()
+    res = ipm_solve(nlp, Z0, options)
+    new_traj = problem.trajectory.from_zvec(res.Z)
+    new_prob = problem.replace(trajectory=new_traj)
+    return SolveResult(
+        problem=new_prob,
+        iterations=res.iterations,
+        converged=res.converged,
+        status=res.status,
+        kkt_error=res.kkt_error,
+        objective=res.objective,
+        ipm=res,
+    )
+
+
+def solve(
+    problem: DirectTrajOptProblem,
+    options: IPMOptions | None = None,
+    **kwargs: Any,
+) -> SolveResult:
+    """Solve a problem (eager). Keyword args override option fields, mirroring
+    the reference's kwargs-over-options behavior
+    (`src/solvers/ipopt_solver/solver.jl:18-37`)."""
+    options = _merge_options(options, kwargs)
+    return _solve_impl(problem, options)
+
+
+@partial(jax.jit, static_argnames=())
+def _solve_jitted(problem, options):
+    return _solve_impl(problem, options)
+
+
+def solve_jit(
+    problem: DirectTrajOptProblem,
+    options: IPMOptions | None = None,
+    **kwargs: Any,
+) -> SolveResult:
+    """Jitted solve — compiled once per problem structure."""
+    options = _merge_options(options, kwargs)
+    return _solve_jitted(problem, options)
+
+
+def solve_batch(
+    problems: DirectTrajOptProblem,
+    options: IPMOptions | None = None,
+    **kwargs: Any,
+) -> SolveResult:
+    """Solve a stacked batch of problems (leading batch axis on every leaf).
+
+    All instances must share the same static structure; they may differ in any
+    numeric data (initial states, goals, dynamics parameters, weights...).
+    """
+    options = _merge_options(options, kwargs)
+    return jax.jit(jax.vmap(_solve_impl, in_axes=(0, None)))(problems, options)
+
+
+def _merge_options(options: IPMOptions | None, kwargs: dict) -> IPMOptions:
+    options = options or IPMOptions()
+    if kwargs:
+        unknown = [k for k in kwargs if not hasattr(options, k)]
+        if unknown:
+            import warnings
+
+            warnings.warn(f"ignoring unknown solver options: {unknown}", stacklevel=3)
+            kwargs = {k: v for k, v in kwargs.items() if k not in unknown}
+        options = options.replace(**kwargs)
+    return options

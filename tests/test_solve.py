@@ -1,0 +1,278 @@
+"""End-to-end solve tests — the analog of the reference's tier-2 testitems:
+build a full problem, solve it, and assert the semantic property at the
+solution (bounds satisfied, symmetry held, duration met, dynamics feasible).
+Problems are made feasible by construction via dynamics rollouts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import directtrajopt_tpu as dtx
+
+G_DRIFT = np.array([[0.0, 1.0], [-1.0, 0.0]])
+G_DRIVE = np.array([[0.0, 1.0], [1.0, 0.0]])
+
+
+def feasible_bilinear_traj(N=20, dt=0.15, seed=0, u_scale=0.3):
+    """Build a trajectory whose final condition comes from a rollout, so the
+    problem is feasible by construction."""
+    rng = np.random.default_rng(seed)
+    u = u_scale * np.sin(np.linspace(0, 2 * np.pi, N))[:, None]
+    integ = dtx.BilinearIntegrator.create((G_DRIFT, [G_DRIVE]), "x", "u", None)
+    x0 = np.array([1.0, 0.0])
+    xs = np.asarray(dtx.bilinear_rollout(integ, jnp.asarray(x0), jnp.asarray(u), dt))
+    goal = xs[-1]
+    traj = dtx.Trajectory.create(
+        {
+            "x": xs + 0.05 * rng.normal(size=(N, 2)),
+            "u": u + 0.05 * rng.normal(size=(N, 1)),
+        },
+        timestep=dt,
+        controls="u",
+        initial={"x": x0},
+        final={"x": goal},
+    )
+    return traj, integ, goal
+
+
+def test_double_integrator_min_energy():
+    """Min-energy reach: analytic optimum is constant velocity."""
+    N = 10
+    traj = dtx.Trajectory.create(
+        {"x": np.zeros((N, 1)), "v": np.zeros((N, 1))},
+        timestep=0.1,
+        controls="v",
+        initial={"x": [0.0]},
+        final={"x": [1.0]},
+    )
+    prob = dtx.DirectTrajOptProblem.create(
+        traj,
+        dtx.QuadraticRegularizer.create("v", traj, 1.0),
+        dtx.DerivativeIntegrator.create("x", "v", traj),
+    )
+    res = dtx.solve(prob, max_iter=50)
+    assert bool(res.converged)
+    v = np.asarray(res.problem.trajectory.data["v"][:-1, 0])
+    np.testing.assert_allclose(v, v.mean(), atol=1e-6)
+    x = np.asarray(res.problem.trajectory.data["x"][:, 0])
+    np.testing.assert_allclose(x[0], 0.0, atol=1e-8)
+    np.testing.assert_allclose(x[-1], 1.0, atol=1e-8)
+
+
+def test_bilinear_transfer():
+    traj, integ, goal = feasible_bilinear_traj()
+    prob = dtx.DirectTrajOptProblem.create(
+        traj, dtx.QuadraticRegularizer.create("u", traj, 1.0), integ
+    )
+    res = dtx.solve(prob, max_iter=200)
+    assert bool(res.converged)
+    tr = res.problem.trajectory
+    # dynamics feasible at solution
+    from directtrajopt_tpu.integrators import evaluate
+
+    dyn = np.asarray(evaluate(integ, tr))
+    assert np.max(np.abs(dyn)) < 1e-6
+    np.testing.assert_allclose(np.asarray(tr.data["x"][-1]), goal, atol=1e-6)
+
+
+def test_bilinear_transfer_with_bounds():
+    traj, integ, goal = feasible_bilinear_traj()
+    traj = traj.replace(bounds={"u": (jnp.asarray([-0.4]), jnp.asarray([0.4]))})
+    prob = dtx.DirectTrajOptProblem.create(
+        traj, dtx.QuadraticRegularizer.create("u", traj, 1.0), integ
+    )
+    res = dtx.solve(prob, max_iter=200)
+    assert bool(res.converged)
+    u = np.asarray(res.problem.trajectory.data["u"][:, 0])
+    # bounds hold on interior knots (the auto-extraction applies them there)
+    assert np.all(u[1:-1] >= -0.4 - 1e-6) and np.all(u[1:-1] <= 0.4 + 1e-6)
+
+
+def test_free_time_minimum_time():
+    traj, integ, goal = feasible_bilinear_traj(N=16)
+    N = traj.N
+    data = {k: v for k, v in traj.data.items()}
+    data["dt"] = np.full((N, 1), 0.15)
+    traj_ft = dtx.Trajectory.create(
+        data,
+        timestep="dt",
+        controls="u",
+        initial={"x": traj.initial["x"]},
+        final={"x": traj.final["x"]},
+        bounds={"dt": (0.03, 0.3), "u": 1.0},
+    )
+    obj = dtx.QuadraticRegularizer.create(
+        "u", traj_ft, 1e-1
+    ) + 2.0 * dtx.MinimumTimeObjective.create(traj_ft, 1.0)
+    prob = dtx.DirectTrajOptProblem.create(traj_ft, obj, integ)
+    res = dtx.solve(prob, max_iter=300, tol=1e-7)
+    assert bool(res.converged)
+    tr = res.problem.trajectory
+    dts = np.asarray(tr.data["dt"][:, 0])
+    assert np.all(dts >= 0.03 - 1e-6) and np.all(dts <= 0.3 + 1e-6)
+    # minimum time should compress the duration below the initial one
+    assert float(tr.get_duration()) < 0.15 * (N - 1)
+
+
+def test_duration_constraint():
+    traj, integ, goal = feasible_bilinear_traj(N=16)
+    N = traj.N
+    data = dict(traj.data)
+    data["dt"] = np.full((N, 1), 0.15)
+    traj_ft = dtx.Trajectory.create(
+        data,
+        timestep="dt",
+        controls="u",
+        initial={"x": traj.initial["x"]},
+        final={"x": traj.final["x"]},
+        bounds={"dt": (0.05, 0.4)},
+    )
+    target = 0.15 * (N - 1)  # keep the feasible duration
+    prob = dtx.DirectTrajOptProblem.create(
+        traj_ft,
+        dtx.QuadraticRegularizer.create("u", traj_ft, 1.0),
+        integ,
+        constraints=[dtx.DurationConstraint(target)],
+    )
+    res = dtx.solve(prob, max_iter=300, tol=1e-7)
+    assert bool(res.converged)
+    np.testing.assert_allclose(
+        float(res.problem.trajectory.get_duration()), target, atol=1e-6
+    )
+
+
+def test_timesteps_all_equal():
+    traj, integ, goal = feasible_bilinear_traj(N=12)
+    N = traj.N
+    data = dict(traj.data)
+    rng = np.random.default_rng(5)
+    data["dt"] = 0.15 + 0.02 * rng.random((N, 1))
+    traj_ft = dtx.Trajectory.create(
+        data,
+        timestep="dt",
+        controls="u",
+        initial={"x": traj.initial["x"]},
+        final={"x": traj.final["x"]},
+        bounds={"dt": (0.05, 0.4)},
+    )
+    prob = dtx.DirectTrajOptProblem.create(
+        traj_ft,
+        dtx.QuadraticRegularizer.create("u", traj_ft, 1.0),
+        integ,
+        constraints=[dtx.TimeStepsAllEqualConstraint()],
+    )
+    res = dtx.solve(prob, max_iter=300, tol=1e-7)
+    assert bool(res.converged)
+    dts = np.asarray(res.problem.trajectory.data["dt"][:, 0])
+    np.testing.assert_allclose(dts, dts[-1], atol=1e-6)
+
+
+def test_symmetry_constraint_e2e():
+    N = 14
+    traj = dtx.Trajectory.create(
+        {"x": np.zeros((N, 1)), "v": 0.1 * np.ones((N, 1))},
+        timestep=0.1,
+        controls="v",
+        initial={"x": [0.0]},
+        final={"x": [0.5]},
+    )
+    prob = dtx.DirectTrajOptProblem.create(
+        traj,
+        dtx.QuadraticRegularizer.create("v", traj, 1.0),
+        dtx.DerivativeIntegrator.create("x", "v", traj),
+        constraints=[dtx.SymmetryConstraint.create("v", [0], even=True)],
+    )
+    res = dtx.solve(prob, max_iter=100)
+    assert bool(res.converged)
+    v = np.asarray(res.problem.trajectory.data["v"][:, 0])
+    for t in range(N // 2):
+        np.testing.assert_allclose(v[t], v[N - 1 - t], atol=1e-7)
+
+
+def test_l1_slack_sparsity():
+    """L1 penalty via slacks + LinearRegularizer drives du to exact zeros."""
+    traj, integ, goal = feasible_bilinear_traj(N=16)
+    N = traj.N
+    data = dict(traj.data)
+    data["du"] = np.zeros((N, 1))
+    data["s"] = 0.2 * np.ones((N, 1))
+    traj2 = dtx.Trajectory.create(
+        data,
+        timestep=0.15,
+        controls=("u", "du"),
+        initial={"x": traj.initial["x"]},
+        final={"x": traj.final["x"]},
+        bounds={"s": (0.0, np.inf)},
+    )
+    integs = [integ, dtx.DerivativeIntegrator.create("u", "du", traj2)]
+    obj = dtx.QuadraticRegularizer.create(
+        "u", traj2, 1e-2
+    ) + 1.0 * dtx.LinearRegularizer.create("s", traj2, 1.0)
+    prob = dtx.DirectTrajOptProblem.create(
+        traj2,
+        obj,
+        integs,
+        constraints=[dtx.L1SlackConstraint.create("du", "s", traj2)],
+    )
+    res = dtx.solve(prob, max_iter=300, tol=1e-7)
+    assert bool(res.converged)
+    tr = res.problem.trajectory
+    du = np.asarray(tr.data["du"][:, 0])
+    s = np.asarray(tr.data["s"][:, 0])
+    assert np.all(np.abs(du) <= s + 1e-6)
+    # L1 drives most increments to ~zero (piecewise-constant u)
+    assert np.sum(np.abs(du) < 1e-5) > N // 2
+
+
+def test_nonlinear_inequality_e2e():
+    traj, integ, goal = feasible_bilinear_traj()
+    cap = float(np.max(np.sum(np.asarray(traj.data["x"]) ** 2, axis=1))) + 0.2
+    con = dtx.NonlinearKnotPointConstraint.create(
+        lambda x: jnp.array([jnp.sum(x**2) - cap]), "x", traj, equality=False
+    )
+    prob = dtx.DirectTrajOptProblem.create(
+        traj, dtx.QuadraticRegularizer.create("u", traj, 1.0), integ,
+        constraints=[con],
+    )
+    res = dtx.solve(prob, max_iter=200, tol=1e-7)
+    assert bool(res.converged)
+    x = np.asarray(res.problem.trajectory.data["x"])
+    assert np.all(np.sum(x**2, axis=1) <= cap + 1e-6)
+
+
+def test_batch_solve_different_goals():
+    """vmapped solve over a batch of problems with different goals."""
+    trajs = []
+    integ = None
+    for seed in range(3):
+        tr, integ, _ = feasible_bilinear_traj(N=14, seed=seed, u_scale=0.2 + 0.1 * seed)
+        trajs.append(tr)
+    probs = [
+        dtx.DirectTrajOptProblem.create(
+            tr, dtx.QuadraticRegularizer.create("u", tr, 1.0), integ
+        )
+        for tr in trajs
+    ]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
+    res = dtx.solve_batch(batch, max_iter=200)
+    assert res.converged.shape == (3,)
+    assert bool(jnp.all(res.converged))
+    # each instance hits its own goal
+    xN = np.asarray(res.problem.trajectory.data["x"][:, -1, :])
+    for i, tr in enumerate(trajs):
+        np.testing.assert_allclose(xN[i], np.asarray(tr.final["x"]), atol=1e-6)
+
+
+def test_warm_start_resolve():
+    """Re-solving from a solution converges immediately (the trajectory is
+    the checkpoint — reference MPC pattern)."""
+    traj, integ, goal = feasible_bilinear_traj()
+    prob = dtx.DirectTrajOptProblem.create(
+        traj, dtx.QuadraticRegularizer.create("u", traj, 1.0), integ
+    )
+    res1 = dtx.solve(prob, max_iter=200)
+    assert bool(res1.converged)
+    res2 = dtx.solve(res1.problem, max_iter=200)
+    assert bool(res2.converged)
+    assert int(res2.iterations) <= max(3, int(res1.iterations) // 2)
