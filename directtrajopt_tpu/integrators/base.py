@@ -72,6 +72,39 @@ def stack_hessians(
     return jax.vmap(lambda w, k, m: hess(w, k, m))(W, ks, mu)
 
 
+def stack_jacobians_zk(integrator, layout: Layout, zmat: jax.Array) -> jax.Array:
+    """Per-window residual Jacobians w.r.t. ``z_k`` only: ``(N-1, r, dim)``.
+
+    For explicit integrators (residual ``x_{k+1} − F(z_k)``) this is the whole
+    nontrivial Jacobian — the ``z_{k+1}`` part is the identity selection of
+    the target components. Used by the Riccati KKT backend.
+    """
+    dim = layout.dim
+    ks = jnp.arange(layout.N - 1)
+
+    def res_zk(zk, zk1, k):
+        return integrator.residual(layout, jnp.concatenate([zk, zk1]), k)
+
+    jac = jax.jacfwd(res_zk, argnums=0)
+    return jax.vmap(jac)(zmat[..., :-1, :], zmat[..., 1:, :], ks)
+
+
+def stack_hessians_zk(
+    integrator, layout: Layout, zmat: jax.Array, mu: jax.Array
+) -> jax.Array:
+    """Per-window Hessians of ``μ_k ⋅ residual_k`` w.r.t. ``z_k`` only:
+    ``(N-1, dim, dim)`` — exact for explicit integrators (the residual is
+    linear in ``z_{k+1}``, so all other Hessian quadrants vanish)."""
+    dim = layout.dim
+    ks = jnp.arange(layout.N - 1)
+
+    def lagr(zk, zk1, k, m):
+        return jnp.dot(m, integrator.residual(layout, jnp.concatenate([zk, zk1]), k))
+
+    hess = jax.hessian(lagr, argnums=0)
+    return jax.vmap(hess)(zmat[..., :-1, :], zmat[..., 1:, :], ks, mu)
+
+
 def evaluate(integrator, traj: Trajectory) -> jax.Array:
     """Flat residual vector (x_dim*(N-1),) — analog of the reference's
     ``evaluate!`` (`src/integrators/bilinear_integrator.jl:98-107`)."""

@@ -26,7 +26,14 @@ __all__ = ["BilinearIntegrator"]
 
 @module
 class BilinearIntegrator:
-    """``x_{k+1} = exp(Δt G(u_k)) x_k`` dynamics constraint."""
+    """``x_{k+1} = exp(Δt G(u_k)) x_k`` dynamics constraint.
+
+    ``explicit=True``: the residual has the form ``x_{k+1} − F(z_k)`` (linear
+    identity coupling to the next knot), which the Riccati KKT backend
+    exploits for exact stage-wise elimination.
+    """
+
+    explicit = True
 
     G_drift: jax.Array | None
     G_drives: jax.Array | None  # (u_dim, x_dim, x_dim)

@@ -20,7 +20,12 @@ __all__ = ["DerivativeIntegrator"]
 
 @module
 class DerivativeIntegrator:
-    """``x_{k+1} = x_k + Δt ẋ_k`` constraint linking a variable to its derivative."""
+    """``x_{k+1} = x_k + Δt ẋ_k`` constraint linking a variable to its derivative.
+
+    ``explicit=True``: residual is ``x_{k+1} − F(z_k)`` (see Riccati backend).
+    """
+
+    explicit = True
 
     x_name: str = static_field()
     xdot_name: str = static_field()

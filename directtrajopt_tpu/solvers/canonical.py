@@ -67,6 +67,11 @@ class CanonicalNLP:
     eq_cons: tuple = ()
     in_cons: tuple = ()
     traj: object = None
+    # raw COO contributions from linear-constraint lowering (static sparsity),
+    # kept for the structured (Riccati) backend's eligibility analysis and
+    # per-knot block extraction
+    eq_entries: tuple = ()
+    in_entries: tuple = ()
 
     @property
     def n_eq(self) -> int:
@@ -230,4 +235,6 @@ def make_nlp(problem: DirectTrajOptProblem, dtype=None) -> CanonicalNLP:
         eq_cons=tuple(eq_cons),
         in_cons=tuple(in_cons),
         traj=traj,
+        eq_entries=tuple(canon.eq_rows),
+        in_entries=tuple(canon.ineq_rows),
     )

@@ -4,18 +4,19 @@ This replaces the reference's Ipopt/MadNLP backends
 (`/root/reference/src/solvers/ipopt_solver/solver.jl`,
 `ext/MadNLPSolverExt/`): instead of callback-per-derivative into an external
 sparse IPM, the entire solver is a JAX program — one ``lax.while_loop`` whose
-body evaluates residuals/derivatives via structured assembly, factorizes the
-KKT system, and performs an Ipopt-class step (algorithm follows Wächter &
-Biegler's IPOPT paper):
+body evaluates residuals/derivatives through a swappable operator backend,
+factorizes the KKT system, and performs an Ipopt-class step (algorithm
+follows Wächter & Biegler):
 
 * slack formulation for inequalities, log barrier for box bounds,
-* condensed primal-dual KKT, solved in augmented-Lagrangian form whose
-  Cholesky doubles as the exact inertia certificate (Haynsworth identity),
+* condensed primal-dual KKT behind an operator interface — dense
+  augmented-Lagrangian Cholesky (`ops_dense.py`) or block-structured Riccati
+  (`ops_riccati.py`),
 * inertia control by primal regularization δ_w with a retry loop,
 * fraction-to-boundary rule, filter line search (fixed-size filter arrays in
   the loop carry) with second-order correction,
 * monotone (Fiacco–McCormick) barrier schedule with κ_ε inner tolerance,
-* dual safeguards (κ_Σ clamp).
+* dual safeguards (κ_Σ clamp), Ipopt-style acceptable-level termination.
 
 Everything is shape-static and dtype-parametric (f64 on CPU, f32 on TPU) and
 the whole solve ``vmap``s over a batch of problem instances — heterogeneous
@@ -30,11 +31,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import assembly
 from .canonical import CanonicalNLP
 from .options import IPMOptions
 
-__all__ = ["IPMState", "IPMResult", "ipm_solve", "kkt_factor", "kkt_apply"]
+__all__ = ["IPMState", "IPMResult", "ipm_solve"]
 
 _BIG = 1e20
 _FILTER_SIZE = 64
@@ -81,67 +81,18 @@ def _masked_min(x, mask, initial):
     return jnp.min(jnp.where(mask, x, initial), initial=initial)
 
 
-def kkt_factor(H, Je, free_mask, delta_w, delta_c, n_eq):
-    """Cholesky of the augmented matrix ``M = H̃ + δw I + JᵀJ/δc``.
-
-    By the Haynsworth inertia identity, the regularized KKT matrix
-    ``[[H̃+δw, Jᵀ], [J, −δc I]]`` has correct inertia (n₊=n, n₋=m) **iff** M is
-    positive definite — so this single NaN-checked Cholesky is simultaneously
-    the inertia certificate (what Ipopt reads off its LBLᵀ) and the solve
-    operator. Pinned coordinates are projected (rows/cols → identity).
-    Returns (L, Hm, Jm, ok).
-    """
-    z_dim = H.shape[0]
-    f = free_mask
-    Hm = f[:, None] * f[None, :] * H + jnp.diag(1.0 - f) + delta_w * jnp.diag(f)
-    if n_eq == 0:
-        Jm = Je
-        M = Hm
-    else:
-        Jm = Je * f[None, :]
-        M = Hm + (Jm.T @ Jm) / delta_c
-    L = jnp.linalg.cholesky(M)
-    ok = jnp.all(jnp.isfinite(L))
-    L = jnp.where(jnp.isfinite(L), L, jnp.eye(z_dim, dtype=H.dtype))
-    return L, Hm, Jm, ok
-
-
-def kkt_apply(L, Hm, Jm, delta_c, rhs_z, rhs_c, n_eq, refine=2):
-    """Solve ``[[H̃+δw, Jᵀ],[J, −δc]] [dZ; λ] = [rhs_z; rhs_c]`` using the
-    augmented factorization from :func:`kkt_factor`, with iterative
-    refinement to recover the accuracy lost to the 1/δc conditioning (and to
-    claw back precision in f32 on TPU)."""
-
-    def chol_solve(r):
-        y = jax.scipy.linalg.solve_triangular(L, r, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
-
-    if n_eq == 0:
-        dZ = chol_solve(rhs_z)
-        for _ in range(refine):
-            dZ = dZ + chol_solve(rhs_z - Hm @ dZ)
-        return dZ, jnp.zeros((0,), dtype=rhs_z.dtype)
-
-    def aug(rz, rc):
-        dz = chol_solve(rz + Jm.T @ (rc / delta_c))
-        lp = (Jm @ dz - rc) / delta_c
-        return dz, lp
-
-    dZ, lam = aug(rhs_z, rhs_c)
-    for _ in range(refine):
-        r_z = rhs_z - Hm @ dZ - Jm.T @ lam
-        r_c = rhs_c - Jm @ dZ + delta_c * lam
-        ddz, dlp = aug(r_z, r_c)
-        dZ, lam = dZ + ddz, lam + dlp
-    return dZ, lam
-
-
 def ipm_solve(
     nlp: CanonicalNLP,
     Z0: jax.Array,
     options: IPMOptions,
+    ops=None,
 ) -> IPMResult:
     """Run the interior-point method from ``Z0`` (one instance; vmap outside)."""
+    if ops is None:
+        from .ops_dense import DenseOps
+
+        ops = DenseOps(nlp)
+
     dtype = Z0.dtype
     opt = options.astype(dtype)
     z_dim, n_eq, n_in = nlp.z_dim, nlp.n_eq, nlp.n_in
@@ -200,37 +151,6 @@ def ipm_solve(
 
     s_max = jnp.asarray(100.0, dtype=dtype)
 
-    def kkt_error(Z, s, lam, nu, zL, zU, mu):
-        """Optimality error E_μ with Ipopt's s_d/s_c scalings."""
-        gf = assembly.gradient(nlp, Z)
-        Je = assembly.jac_eq(nlp, Z)
-        Ji = assembly.jac_in(nlp, Z)
-        r_dual = free * (gf + Je.T @ lam + Ji.T @ nu - zL + zU)
-        c_e = nlp.c_eq(Z)
-        c_i = nlp.c_in(Z)
-        dL, dU = bound_dists(Z)
-        comp_L = jnp.where(mask_L, dL * zL - mu, 0.0)
-        comp_U = jnp.where(mask_U, dU * zU - mu, 0.0)
-        comp_s = s * nu - mu
-        z_sum = jnp.sum(jnp.abs(lam)) + jnp.sum(jnp.abs(nu))
-        b_sum = jnp.sum(jnp.abs(zL)) + jnp.sum(jnp.abs(zU))
-        n_tot = jnp.maximum(1, n_eq + n_in + 2 * z_dim)
-        s_d = jnp.maximum(s_max, (z_sum + b_sum) / n_tot) / s_max
-        s_c = jnp.maximum(s_max, b_sum / jnp.maximum(1, 2 * z_dim)) / s_max
-        inf_du = jnp.max(jnp.abs(r_dual), initial=0.0)
-        inf_pr = jnp.maximum(
-            jnp.max(jnp.abs(c_e), initial=0.0),
-            jnp.max(jnp.abs(c_i + s), initial=0.0),
-        )
-        inf_comp = jnp.maximum(
-            jnp.maximum(
-                jnp.max(jnp.abs(comp_L), initial=0.0),
-                jnp.max(jnp.abs(comp_U), initial=0.0),
-            ),
-            jnp.max(jnp.abs(comp_s), initial=0.0),
-        )
-        return jnp.maximum(jnp.maximum(inf_du / s_d, inf_pr), inf_comp / s_c)
-
     def barrier_phi(Z, s, mu):
         """Barrier function φ_μ and ℓ1 constraint violation θ."""
         dL, dU = bound_dists(Z)
@@ -243,68 +163,85 @@ def ipm_solve(
         return nlp.objective(Z) - mu * bar, theta
 
     def body(st: IPMState) -> IPMState:
-        Z, s, lam, nu, zL, zU, mu = st.Z, st.s, st.lam, st.nu, st.zL, st.zU, st.mu
+        Z, s, lam, nu, zL, zU = st.Z, st.s, st.lam, st.nu, st.zL, st.zU
         dL, dU = bound_dists(Z)
 
-        gf = assembly.gradient(nlp, Z)
-        c_e = nlp.c_eq(Z)
-        c_i = nlp.c_in(Z)
-        Je = assembly.jac_eq(nlp, Z)
-        Ji = assembly.jac_in(nlp, Z)
-        W = assembly.hess_lagrangian(nlp, Z, lam, nu, 1.0)
+        ctx = ops.prepare(Z, lam, nu)
+        gf, c_e, c_i = ctx.grad_f, ctx.c_e, ctx.c_i
 
-        # condensed Hessian: W + Σ_bounds + Ji' D Ji
+        # ---- optimality errors at the current iterate -------------------- #
+        r_dual = free * (gf + ctx.JeT(lam) + ctx.JiT(nu) - zL + zU)
+        z_sum = jnp.sum(jnp.abs(lam)) + jnp.sum(jnp.abs(nu))
+        b_sum = jnp.sum(jnp.abs(zL)) + jnp.sum(jnp.abs(zU))
+        n_tot = jnp.maximum(1, n_eq + n_in + 2 * z_dim)
+        s_d = jnp.maximum(s_max, (z_sum + b_sum) / n_tot) / s_max
+        s_c = jnp.maximum(s_max, b_sum / jnp.maximum(1, 2 * z_dim)) / s_max
+        inf_du = jnp.max(jnp.abs(r_dual), initial=0.0)
+        inf_pr = jnp.maximum(
+            jnp.max(jnp.abs(c_e), initial=0.0),
+            jnp.max(jnp.abs(c_i + s), initial=0.0),
+        )
+
+        def comp_err(mu_val):
+            comp_L = jnp.where(mask_L, dL * zL - mu_val, 0.0)
+            comp_U = jnp.where(mask_U, dU * zU - mu_val, 0.0)
+            comp_s = s * nu - mu_val
+            return jnp.maximum(
+                jnp.maximum(
+                    jnp.max(jnp.abs(comp_L), initial=0.0),
+                    jnp.max(jnp.abs(comp_U), initial=0.0),
+                ),
+                jnp.max(jnp.abs(comp_s), initial=0.0),
+            )
+
+        base_err = jnp.maximum(inf_du / s_d, inf_pr)
+        e_mu = jnp.maximum(base_err, comp_err(st.mu) / s_c)
+        e_0 = jnp.maximum(base_err, comp_err(0.0) / s_c)
+
+        conv_now = e_0 <= opt.tol
+        acc_count = jnp.where(
+            e_0 <= opt.acceptable_tol, st.acc_count + 1, jnp.zeros((), jnp.int32)
+        )
+        stop_now = conv_now | (acc_count >= options.acceptable_iter)
+
+        # ---- monotone barrier update (+ filter reset, Ipopt A-5.4) ------- #
+        mu_update = e_mu <= opt.kappa_epsilon * st.mu
+        mu = jnp.where(
+            mu_update,
+            jnp.maximum(
+                opt.tol / 10.0,
+                jnp.minimum(opt.kappa_mu * st.mu, st.mu**opt.theta_mu),
+            ),
+            st.mu,
+        )
+        filter_th = jnp.where(mu_update, jnp.inf, st.filter_th)
+        filter_ph = jnp.where(mu_update, jnp.inf, st.filter_ph)
+        filter_n = jnp.where(mu_update, 0, st.filter_n)
+
+        # ---- condensed system ------------------------------------------- #
         SigL = jnp.where(mask_L, zL / dL, 0.0)
         SigU = jnp.where(mask_U, zU / dU, 0.0)
+        Sig = (SigL + SigU) * free
         D = nu / s if n_in else jnp.zeros((0,), dtype=dtype)
-        H = W + jnp.diag(SigL + SigU)
-        Jim = Ji * free[None, :]
-        if n_in:
-            H = H + (Jim.T * D[None, :]) @ Jim
 
-        # condensed gradient
         g_hat = gf - jnp.where(mask_L, mu / dL, 0.0) + jnp.where(mask_U, mu / dU, 0.0)
         if n_in:
-            g_hat = g_hat + Ji.T @ (mu / s + D * (c_i + s))
+            g_hat = g_hat + ctx.JiT(mu / s + D * (c_i + s))
         g_hat = free * g_hat
 
-        # ---- factorization with inertia-regularization retry ------------- #
-        def factor(delta_w):
-            return kkt_factor(H, Je, free, delta_w, opt.delta_c, n_eq)
-
-        L0, Hm0, Jm0, ok0 = factor(jnp.zeros((), dtype=dtype))
-        first_bump = jnp.where(
-            st.delta_w_last > 0,
-            jnp.maximum(opt.delta_w_init, st.delta_w_last / 3.0),
-            opt.delta_w_init * 100.0,
+        dZ, lam_plus, ok, delta_fin, resolve = ctx.kkt_step(
+            Sig, D, g_hat, -c_e, st.delta_w_last, opt
         )
-
-        def reg_cond(carry):
-            delta, _, _, _, ok = carry
-            return (~ok) & (delta < opt.delta_w_max)
-
-        def reg_body(carry):
-            delta, _, _, _, _ = carry
-            new_delta = jnp.where(delta == 0.0, first_bump, delta * opt.delta_w_factor)
-            L_, Hm_, Jm_, ok_ = factor(new_delta)
-            return (new_delta, L_, Hm_, Jm_, ok_)
-
-        delta_fin, L, Hm, Jm, ok = jax.lax.while_loop(
-            reg_cond, reg_body, (jnp.zeros((), dtype=dtype), L0, Hm0, Jm0, ok0)
-        )
-
-        dZ, lam_plus = kkt_apply(L, Hm, Jm, opt.delta_c, -g_hat, -c_e, n_eq)
 
         # ---- recover eliminated directions ------------------------------- #
         if n_in:
-            ds = -(c_i + s) - Jim @ dZ
+            ds = -(c_i + s) - ctx.Ji(dZ)
             dnu = mu / s - nu - D * ds
         else:
             ds = jnp.zeros((0,), dtype=dtype)
             dnu = jnp.zeros((0,), dtype=dtype)
         dzL = jnp.where(mask_L, mu / dL - zL - SigL * dZ, 0.0)
         dzU = jnp.where(mask_U, mu / dU - zU + SigU * dZ, 0.0)
-        dlam = lam_plus - lam
 
         # ---- fraction-to-boundary step sizes ----------------------------- #
         tau = jnp.maximum(opt.tau_min, 1.0 - mu)
@@ -341,14 +278,11 @@ def ipm_solve(
         )
 
         def acceptable(alpha, phi_t, theta_t):
-            # vs filter entries (empty slots are +inf → vacuously acceptable)
             vs_filter = jnp.all(
-                (theta_t <= (1.0 - _GAMMA_THETA) * st.filter_th)
-                | (phi_t <= st.filter_ph - _GAMMA_PHI * st.filter_th)
+                (theta_t <= (1.0 - _GAMMA_THETA) * filter_th)
+                | (phi_t <= filter_ph - _GAMMA_PHI * filter_th)
             )
-            switch = (Dphi < 0) & (
-                alpha * (-Dphi) ** _S_PHI > theta0**_S_THETA
-            )
+            switch = (Dphi < 0) & (alpha * (-Dphi) ** _S_PHI > theta0**_S_THETA)
             armijo = phi_t <= phi0 + opt.eta_ls * alpha * Dphi
             sufficient = (theta_t <= (1.0 - _GAMMA_THETA) * theta0) | (
                 phi_t <= phi0 - _GAMMA_PHI * theta0
@@ -368,66 +302,60 @@ def ipm_solve(
             Zt = nlp.apply_pins(Z + alpha * dZ_)
             st_ = s + alpha * ds_
             phi_t, theta_t = barrier_phi(Zt, st_, mu)
-            return Zt, st_, phi_t, theta_t
+            return phi_t, theta_t
 
-        # first trial at the full fraction-to-boundary step
-        _, _, phi_1, theta_1 = trial(a_pri, dZ, ds)
+        phi_1, theta_1 = trial(a_pri, dZ, ds)
         acc_1, ftype_1 = acceptable(a_pri, phi_1, theta_1)
 
-        # second-order correction: if rejected and violation grew, correct the
-        # constraint residual reusing the factorization (Ipopt §A-5.7)
+        # second-order correction (Ipopt §A-5.7) reusing the factorization
         Z_full = nlp.apply_pins(Z + a_pri * dZ)
         c_soc = a_pri * c_e + nlp.c_eq(Z_full)
         if n_in:
             s_full = s + a_pri * ds
             ci_soc = a_pri * (c_i + s) + nlp.c_in(Z_full) + s_full
-            g_soc = free * (Ji.T @ (D * ci_soc))
+            g_soc = free * ctx.JiT(D * ci_soc)
         else:
             ci_soc = jnp.zeros((0,), dtype=dtype)
             g_soc = jnp.zeros((z_dim,), dtype=dtype)
-        dZ_soc, lam_soc = kkt_apply(
-            L, Hm, Jm, opt.delta_c, -g_hat - g_soc, -c_soc, n_eq
-        )
-        ds_soc = (
-            -(ci_soc) - Jim @ dZ_soc if n_in else jnp.zeros((0,), dtype=dtype)
-        )
+        dZ_soc, lam_soc = resolve(-g_hat - g_soc, -c_soc)
+        ds_soc = -(ci_soc) - ctx.Ji(dZ_soc) if n_in else jnp.zeros((0,), dtype=dtype)
         a_soc = max_primal_step(dZ_soc, ds_soc)
-        _, _, phi_s, theta_s = trial(a_soc, dZ_soc, ds_soc)
+        phi_s, theta_s = trial(a_soc, dZ_soc, ds_soc)
         acc_s, ftype_s = acceptable(a_soc, phi_s, theta_s)
         use_soc = (~acc_1) & (theta_1 > theta0) & acc_s
 
-        # backtracking from a_pri if neither full step nor SOC accepted
+        # backtracking if neither the full step nor SOC was accepted
+        need_bt = (~acc_1) & (~use_soc)
+
         def ls_cond(carry):
-            alpha, done, t = carry
+            _, done, t = carry
             return (~done) & (t < opt.max_ls)
 
         def ls_body(carry):
-            alpha, done, t = carry
+            alpha, _, t = carry
             new_alpha = alpha * 0.5
-            _, _, phi_t, theta_t = trial(new_alpha, dZ, ds)
+            phi_t, theta_t = trial(new_alpha, dZ, ds)
             accept, _ = acceptable(new_alpha, phi_t, theta_t)
-            return (
-                jnp.where(accept, new_alpha, new_alpha),
-                accept,
-                t + 1,
-            )
+            return (new_alpha, accept, t + 1)
 
-        need_bt = (~acc_1) & (~use_soc)
         alpha_bt, bt_ok, _ = jax.lax.while_loop(
-            ls_cond,
-            ls_body,
-            (a_pri, ~need_bt, jnp.zeros((), jnp.int32)),
+            ls_cond, ls_body, (a_pri, ~need_bt, jnp.zeros((), jnp.int32))
         )
-        # smallest allowed step if everything failed
         alpha_min = a_pri * (0.5**opt.max_ls)
 
         alpha = jnp.where(
-            acc_1, a_pri, jnp.where(use_soc, a_soc, jnp.where(bt_ok, alpha_bt, alpha_min))
+            acc_1,
+            a_pri,
+            jnp.where(use_soc, a_soc, jnp.where(bt_ok, alpha_bt, alpha_min)),
         )
         step_dZ = jnp.where(use_soc, dZ_soc, dZ)
         step_ds = jnp.where(use_soc, ds_soc, ds) if n_in else ds
         step_lam_plus = jnp.where(use_soc, lam_soc, lam_plus)
         f_type_step = jnp.where(acc_1, ftype_1, jnp.where(use_soc, ftype_s, False))
+
+        # freeze the step entirely once converged (this pass only records it)
+        alpha = jnp.where(stop_now, 0.0, alpha)
+        a_dual = jnp.where(stop_now, 0.0, a_dual)
 
         # ---- update ------------------------------------------------------- #
         Z_new = nlp.apply_pins(Z + alpha * step_dZ)
@@ -455,48 +383,19 @@ def ipm_solve(
             )
 
         # ---- filter augmentation (on non-f-type acceptance) --------------- #
-        slot = st.filter_n % _FILTER_SIZE
-        augment = ~f_type_step
-        filter_th = jnp.where(
-            augment,
-            st.filter_th.at[slot].set(theta0),
-            st.filter_th,
-        )
-        filter_ph = jnp.where(
-            augment,
-            st.filter_ph.at[slot].set(phi0),
-            st.filter_ph,
-        )
-        filter_n = st.filter_n + jnp.where(augment, 1, 0)
-
-        # ---- barrier update & convergence -------------------------------- #
-        e_mu = kkt_error(Z_new, s_new, lam_new, nu_new, zL_new, zU_new, mu)
-        e_0 = kkt_error(Z_new, s_new, lam_new, nu_new, zL_new, zU_new, 0.0)
-        mu_update = e_mu <= opt.kappa_epsilon * mu
-        mu_new = jnp.where(
-            mu_update,
-            jnp.maximum(
-                opt.tol / 10.0, jnp.minimum(opt.kappa_mu * mu, mu**opt.theta_mu)
-            ),
-            mu,
-        )
-        # reset the filter when the barrier parameter changes (Ipopt A-5.4)
-        filter_th = jnp.where(mu_update, jnp.inf, filter_th)
-        filter_ph = jnp.where(mu_update, jnp.inf, filter_ph)
-        filter_n = jnp.where(mu_update, 0, filter_n)
-
-        converged = e_0 <= opt.tol
-        acc_count = jnp.where(
-            e_0 <= opt.acceptable_tol, st.acc_count + 1, jnp.zeros((), jnp.int32)
-        )
+        slot = filter_n % _FILTER_SIZE
+        augment = (~f_type_step) & (~stop_now)
+        filter_th = jnp.where(augment, filter_th.at[slot].set(theta0), filter_th)
+        filter_ph = jnp.where(augment, filter_ph.at[slot].set(phi0), filter_ph)
+        filter_n = filter_n + jnp.where(augment, 1, 0)
 
         if options.print_level >= 5:
             jax.debug.print(
                 "it={i} mu={mu:.1e} obj={o:.6f} th={th:.2e} e0={e:.2e} "
-                "emu={em:.2e} a={a:.2e} amax={am:.2e} soc={sc} dw={d:.1e}",
+                "emu={em:.2e} a={a:.2e} amax={am:.2e} soc={sc} dw={d:.1e} ok={ok}",
                 i=st.iter,
                 mu=mu,
-                o=nlp.objective(Z_new),
+                o=st.obj,
                 th=theta0,
                 e=e_0,
                 em=e_mu,
@@ -504,21 +403,9 @@ def ipm_solve(
                 am=a_pri,
                 sc=use_soc,
                 d=delta_fin,
-            )
-        if options.print_level >= 7:
-            jax.debug.print(
-                "   |dZ|={nd:.2e} th1={t1:.2e} ph0={p0:.6f} ph1={p1:.6f} "
-                "acc1={a1} Dphi={dp:.2e} fn={fn}",
-                nd=jnp.max(jnp.abs(dZ)),
-                t1=theta_1,
-                p0=phi0,
-                p1=phi_1,
-                a1=acc_1,
-                dp=Dphi,
-                fn=st.filter_n,
+                ok=ok,
             )
 
-        _, theta_new = barrier_phi(Z_new, s_new, mu)
         return IPMState(
             Z=Z_new,
             s=s_new,
@@ -526,15 +413,15 @@ def ipm_solve(
             nu=nu_new,
             zL=zL_new,
             zU=zU_new,
-            mu=mu_new,
+            mu=mu,
             theta_max=st.theta_max,
             theta_min=st.theta_min,
             filter_th=filter_th,
             filter_ph=filter_ph,
             filter_n=filter_n,
             delta_w_last=jnp.where(delta_fin > 0, delta_fin, st.delta_w_last),
-            iter=st.iter + 1,
-            converged=converged,
+            iter=st.iter + jnp.where(stop_now, 0, 1),
+            converged=conv_now,
             acc_count=acc_count,
             err=e_0,
             obj=nlp.objective(Z_new),

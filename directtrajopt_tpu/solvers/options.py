@@ -44,8 +44,13 @@ class IPMOptions:
     # -- inertia regularization ------------------------------------------- #
     delta_w_init: float = 1e-8
     delta_w_max: float = 1e10
-    delta_w_factor: float = 100.0
+    delta_w_factor: float = 8.0  # κ_w⁺ (Ipopt); first-ever bump uses ×100
     delta_c: float = 1e-8
+    # Riccati backend: augmented-Lagrangian curvature shift for knot-local
+    # border rows (terminal/interior pins, nonlinear equalities). Moves the
+    # curvature those constraints fix into the core so the stage-wise inertia
+    # certificate matches the full KKT inertia; solution-invariant.
+    border_penalty: float = 100.0
     # -- iteration limits (static: control loop structure) ----------------- #
     max_iter: int = static_field(default=1000)
     # -- diagnostics: per-iteration jax.debug.print (static) --------------- #

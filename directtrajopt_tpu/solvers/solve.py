@@ -37,10 +37,25 @@ class SolveResult(NamedTuple):
     ipm: IPMResult
 
 
-def _solve_impl(problem: DirectTrajOptProblem, options: IPMOptions) -> SolveResult:
+def _make_ops(nlp, backend: str):
+    if backend in ("auto", "riccati"):
+        from .ops_riccati import RiccatiOps, analyze
+
+        if analyze(nlp) is not None:
+            return RiccatiOps(nlp)
+        if backend == "riccati":
+            raise ValueError("problem is not Riccati-eligible")
+    from .ops_dense import DenseOps
+
+    return DenseOps(nlp)
+
+
+def _solve_impl(
+    problem: DirectTrajOptProblem, options: IPMOptions, backend: str = "auto"
+) -> SolveResult:
     nlp = make_nlp(problem)
     Z0 = problem.trajectory.to_zvec()
-    res = ipm_solve(nlp, Z0, options)
+    res = ipm_solve(nlp, Z0, options, ops=_make_ops(nlp, backend))
     new_traj = problem.trajectory.from_zvec(res.Z)
     new_prob = problem.replace(trajectory=new_traj)
     return SolveResult(
@@ -57,33 +72,43 @@ def _solve_impl(problem: DirectTrajOptProblem, options: IPMOptions) -> SolveResu
 def solve(
     problem: DirectTrajOptProblem,
     options: IPMOptions | None = None,
+    *,
+    backend: str = "auto",
     **kwargs: Any,
 ) -> SolveResult:
     """Solve a problem (eager). Keyword args override option fields, mirroring
     the reference's kwargs-over-options behavior
-    (`src/solvers/ipopt_solver/solver.jl:18-37`)."""
+    (`src/solvers/ipopt_solver/solver.jl:18-37`).
+
+    ``backend``: "auto" (Riccati when the problem is an explicit OCP, dense
+    otherwise), "riccati", or "dense".
+    """
     options = _merge_options(options, kwargs)
-    return _solve_impl(problem, options)
+    return _solve_impl(problem, options, backend)
 
 
-@partial(jax.jit, static_argnames=())
-def _solve_jitted(problem, options):
-    return _solve_impl(problem, options)
+@partial(jax.jit, static_argnames=("backend",))
+def _solve_jitted(problem, options, backend):
+    return _solve_impl(problem, options, backend)
 
 
 def solve_jit(
     problem: DirectTrajOptProblem,
     options: IPMOptions | None = None,
+    *,
+    backend: str = "auto",
     **kwargs: Any,
 ) -> SolveResult:
     """Jitted solve — compiled once per problem structure."""
     options = _merge_options(options, kwargs)
-    return _solve_jitted(problem, options)
+    return _solve_jitted(problem, options, backend)
 
 
 def solve_batch(
     problems: DirectTrajOptProblem,
     options: IPMOptions | None = None,
+    *,
+    backend: str = "auto",
     **kwargs: Any,
 ) -> SolveResult:
     """Solve a stacked batch of problems (leading batch axis on every leaf).
@@ -92,7 +117,9 @@ def solve_batch(
     numeric data (initial states, goals, dynamics parameters, weights...).
     """
     options = _merge_options(options, kwargs)
-    return jax.jit(jax.vmap(_solve_impl, in_axes=(0, None)))(problems, options)
+    return jax.jit(
+        jax.vmap(partial(_solve_impl, backend=backend), in_axes=(0, None))
+    )(problems, options)
 
 
 def _merge_options(options: IPMOptions | None, kwargs: dict) -> IPMOptions:

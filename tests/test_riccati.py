@@ -1,0 +1,322 @@
+"""Riccati KKT backend vs dense backend: operator-level and end-to-end
+agreement. This is the correctness anchor for the TPU performance path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import directtrajopt_tpu as dtx
+from directtrajopt_tpu.solvers import make_nlp
+from directtrajopt_tpu.solvers.ops_dense import DenseOps
+from directtrajopt_tpu.solvers.ops_riccati import RiccatiOps, analyze
+
+G_DRIFT = np.array([[0.0, 1.0], [-1.0, 0.0]])
+G_DRIVE = np.array([[0.0, 1.0], [1.0, 0.0]])
+
+
+def make_problem(
+    free_time=True,
+    with_l1=True,
+    with_nl_ineq=True,
+    with_nl_eq=True,
+    with_symmetry=True,
+    with_duration=True,
+    N=9,
+    seed=0,
+):
+    rng = np.random.default_rng(seed)
+    data = {
+        "x": 0.4 * rng.normal(size=(N, 2)),
+        "u": 0.3 * rng.normal(size=(N, 1)),
+        "du": 0.2 * rng.normal(size=(N, 1)),
+        "ddu": 0.2 * rng.normal(size=(N, 1)),
+    }
+    if with_l1:
+        data["sl"] = 0.3 + 0.1 * rng.random((N, 1))
+    if free_time:
+        data["dt"] = 0.1 + 0.02 * rng.random((N, 1))
+    bounds = {"u": 0.9}
+    if with_l1:
+        bounds["sl"] = (0.0, np.inf)
+    if free_time:
+        bounds["dt"] = (0.02, 0.4)
+    traj = dtx.Trajectory.create(
+        data,
+        timestep="dt" if free_time else 0.1,
+        controls=("u", "ddu"),
+        initial={"x": [1.0, 0.0], "u": [0.0]},
+        final={"x": [0.0, 1.0], "u": [0.0]},
+        bounds=bounds,
+    )
+    integs = [
+        dtx.BilinearIntegrator.create((G_DRIFT, [G_DRIVE]), "x", "u", traj),
+        dtx.DerivativeIntegrator.create("u", "du", traj),
+        dtx.DerivativeIntegrator.create("du", "ddu", traj),
+    ]
+    obj = (
+        dtx.QuadraticRegularizer.create("u", traj, 1.0)
+        + 1e-2 * dtx.QuadraticRegularizer.create("ddu", traj, 1.0)
+    )
+    if free_time:
+        obj = obj + 0.3 * dtx.MinimumTimeObjective.create(traj, 1.0)
+    cons = []
+    if with_l1:
+        cons.append(dtx.L1SlackConstraint.create("du", "sl", traj))
+    if with_nl_ineq:
+        cons.append(
+            dtx.NonlinearKnotPointConstraint.create(
+                lambda x: jnp.array([jnp.sum(x**2) - 2.5]), "x", traj, equality=False
+            )
+        )
+    if with_nl_eq:
+        cons.append(
+            dtx.NonlinearKnotPointConstraint.create(
+                lambda u: jnp.array([u[0] ** 3 - 0.001]), "u", traj, times=[3]
+            )
+        )
+    if with_symmetry:
+        cons.append(dtx.SymmetryConstraint.create("ddu", [0], even=True))
+    if with_duration and free_time:
+        cons.append(dtx.DurationConstraint(0.1 * (N - 1)))
+    return dtx.DirectTrajOptProblem.create(traj, obj, integs, constraints=cons)
+
+
+def _compare_ops(prob, seed=1, atol=1e-6):
+    nlp = make_nlp(prob)
+    assert analyze(nlp) is not None, "fixture should be Riccati-eligible"
+    dense = DenseOps(nlp)
+    ricc = RiccatiOps(nlp)
+
+    rng = np.random.default_rng(seed)
+    Z = nlp.apply_pins(prob.trajectory.to_zvec())
+    lam = jnp.asarray(rng.normal(size=nlp.n_eq))
+    nu = jnp.asarray(np.abs(rng.normal(size=nlp.n_in)) + 0.1)
+
+    dctx = dense.prepare(Z, lam, nu)
+    rctx = ricc.prepare(Z, lam, nu)
+
+    np.testing.assert_allclose(np.asarray(rctx.c_e), np.asarray(dctx.c_e), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rctx.c_i), np.asarray(dctx.c_i), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(rctx.grad_f), np.asarray(dctx.grad_f), atol=1e-12
+    )
+
+    # matvecs
+    ve = jnp.asarray(rng.normal(size=nlp.n_eq))
+    np.testing.assert_allclose(
+        np.asarray(rctx.JeT(ve)), np.asarray(dctx.JeT(ve)), atol=1e-10
+    )
+    vi = jnp.asarray(rng.normal(size=nlp.n_in))
+    np.testing.assert_allclose(
+        np.asarray(rctx.JiT(vi)), np.asarray(dctx.JiT(vi)), atol=1e-10
+    )
+    vz = jnp.asarray(rng.normal(size=nlp.z_dim))
+    np.testing.assert_allclose(
+        np.asarray(rctx.Ji(vz)), np.asarray(dctx.Ji(vz)), atol=1e-10
+    )
+
+    # KKT step on a convexified system (δ=0 accepted by both backends)
+    from directtrajopt_tpu.solvers.options import IPMOptions
+
+    opt = IPMOptions().astype(jnp.float64)
+    Sig = jnp.asarray(np.abs(rng.normal(size=nlp.z_dim)) + 3.0) * nlp.free_mask
+    D = jnp.asarray(np.abs(rng.normal(size=nlp.n_in)) + 0.5)
+    g_hat = jnp.asarray(rng.normal(size=nlp.z_dim)) * nlp.free_mask
+    # a consistent constraint rhs (random rhs may be inconsistent when the
+    # masked Jacobian is row-rank-deficient, making the comparison ill-posed)
+    Jm = dctx._Je * nlp.free_mask[None, :]
+    rhs_c = Jm @ jnp.asarray(rng.normal(size=nlp.z_dim))
+
+    dZ_d, lam_d, ok_d, delta_d, _ = dctx.kkt_step(
+        Sig, D, g_hat, rhs_c, jnp.zeros(()), opt
+    )
+    dZ_r, lam_r, ok_r, delta_r, resolve_r = rctx.kkt_step(
+        Sig, D, g_hat, rhs_c, jnp.zeros(()), opt
+    )
+    assert bool(ok_d) and bool(ok_r)
+    assert float(delta_d) == 0.0 and float(delta_r) == 0.0
+
+    # ground truth: the Riccati solution must satisfy the exact (dense) KKT
+    # equations — this is stronger than comparing against the dense solution,
+    # which carries its own δc perturbation amplified by near-dependent rows.
+    f = np.asarray(nlp.free_mask)
+    H = np.asarray(dctx._W) + np.diag(np.asarray(Sig))
+    Jim = np.asarray(dctx._Ji) * f[None, :]
+    if nlp.n_in:
+        H = H + (Jim.T * np.asarray(D)[None, :]) @ Jim
+    Hm = f[:, None] * f[None, :] * H + np.diag(1 - f)
+    Jm_np = np.asarray(Jm)
+
+    def kkt_residuals(dZ, lm):
+        r_stat = Hm @ np.asarray(dZ) + Jm_np.T @ np.asarray(lm) + np.asarray(g_hat)
+        r_cons = Jm_np @ np.asarray(dZ) - np.asarray(rhs_c)
+        return np.max(np.abs(r_stat)), np.max(np.abs(r_cons))
+
+    stat_r, cons_r = kkt_residuals(dZ_r, lam_r)
+    scale = max(
+        1.0, float(np.max(np.abs(np.asarray(dZ_r)))), float(np.max(np.abs(lam_r)))
+    )
+    assert stat_r < 1e-8 * scale, f"Riccati stationarity residual {stat_r} (scale {scale})"
+    assert cons_r < 1e-7 * scale, f"Riccati constraint residual {cons_r} (scale {scale})"
+    # primal steps agree (looser: δc/conditioning differences are expected)
+    np.testing.assert_allclose(np.asarray(dZ_r), np.asarray(dZ_d), atol=1e-3 * scale)
+
+    # resolve (second rhs through the same factorization)
+    g2 = jnp.asarray(rng.normal(size=nlp.z_dim)) * nlp.free_mask
+    c2 = Jm @ jnp.asarray(rng.normal(size=nlp.z_dim))
+    dZ_r2, lam_r2 = resolve_r(-g2, c2)
+    r_stat2 = Hm @ np.asarray(dZ_r2) + Jm_np.T @ np.asarray(lam_r2) + np.asarray(g2)
+    r_cons2 = Jm_np @ np.asarray(dZ_r2) - np.asarray(c2)
+    scale2 = max(
+        1.0, float(np.max(np.abs(np.asarray(dZ_r2)))), float(np.max(np.abs(lam_r2)))
+    )
+    assert np.max(np.abs(r_stat2)) < 1e-8 * scale2
+    assert np.max(np.abs(r_cons2)) < 1e-7 * scale2
+
+
+def test_ops_agree_full_zoo():
+    _compare_ops(make_problem())
+
+
+def test_ops_agree_fixed_time_minimal():
+    _compare_ops(
+        make_problem(
+            free_time=False,
+            with_l1=False,
+            with_nl_ineq=False,
+            with_nl_eq=False,
+            with_symmetry=False,
+            with_duration=False,
+        )
+    )
+
+
+def test_ops_agree_no_inequalities():
+    _compare_ops(
+        make_problem(with_l1=False, with_nl_ineq=False, with_duration=True)
+    )
+
+
+def test_eligibility():
+    # globals -> ineligible
+    N = 5
+    traj = dtx.Trajectory.create(
+        {"x": np.zeros((N, 1)), "v": np.zeros((N, 1))},
+        timestep=0.1,
+        global_data={"th": [0.1]},
+    )
+    prob = dtx.DirectTrajOptProblem.create(
+        traj,
+        dtx.QuadraticRegularizer.create("v", traj, 1.0),
+        dtx.DerivativeIntegrator.create("x", "v", traj),
+    )
+    assert analyze(make_nlp(prob)) is None
+    # plain OCP -> eligible
+    traj2 = dtx.Trajectory.create(
+        {"x": np.zeros((N, 1)), "v": np.zeros((N, 1))}, timestep=0.1
+    )
+    prob2 = dtx.DirectTrajOptProblem.create(
+        traj2,
+        dtx.QuadraticRegularizer.create("v", traj2, 1.0),
+        dtx.DerivativeIntegrator.create("x", "v", traj2),
+    )
+    assert analyze(make_nlp(prob2)) is not None
+
+
+def test_e2e_riccati_matches_dense():
+    """Feasible-by-construction problem with bounds + L1 slacks + free time:
+    both backends must converge to the same point."""
+    rng = np.random.default_rng(2)
+    N = 14
+    integ = dtx.BilinearIntegrator.create((G_DRIFT, [G_DRIVE]), "x", "u", None)
+    u = 0.25 * np.sin(np.linspace(0, 5, N))[:, None]
+    xs = dtx.bilinear_rollout(integ, jnp.array([1.0, 0.0]), jnp.asarray(u), 0.12)
+    data = {
+        "x": np.asarray(xs) + 0.02 * rng.normal(size=(N, 2)),
+        "u": u,
+        "du": np.zeros((N, 1)),
+        "sl": 0.2 * np.ones((N, 1)),
+        "dt": np.full((N, 1), 0.12),
+    }
+    traj = dtx.Trajectory.create(
+        data,
+        timestep="dt",
+        controls=("u", "du"),
+        initial={"x": [1.0, 0.0]},
+        final={"x": np.asarray(xs[-1])},
+        bounds={"u": 0.8, "sl": (0.0, np.inf), "dt": (0.05, 0.3)},
+    )
+    integs = [
+        dtx.BilinearIntegrator.create((G_DRIFT, [G_DRIVE]), "x", "u", traj),
+        dtx.DerivativeIntegrator.create("u", "du", traj),
+    ]
+    obj = (
+        dtx.QuadraticRegularizer.create("u", traj, 1.0)
+        + 0.1 * dtx.LinearRegularizer.create("sl", traj, 1.0)
+        + 0.05 * dtx.MinimumTimeObjective.create(traj, 1.0)
+    )
+    cons = [dtx.L1SlackConstraint.create("du", "sl", traj)]
+    prob = dtx.DirectTrajOptProblem.create(traj, obj, integs, constraints=cons)
+    # NOTE: at the L1 solution (du=0, sl=0) both slack rows and the sl bound
+    # are active — LICQ fails, so the dual error has a floor ~1e-5 (Ipopt
+    # shows the same on degenerate problems); acceptable-level convergence is
+    # the right bar here.
+    kw = dict(max_iter=300, tol=1e-8, acceptable_tol=1e-4, acceptable_iter=10)
+    res_d = dtx.solve(prob, backend="dense", **kw)
+    res_r = dtx.solve(prob, backend="riccati", **kw)
+    assert bool(res_d.converged), f"dense failed: kkt={float(res_d.kkt_error)}"
+    assert bool(res_r.converged), f"riccati failed: kkt={float(res_r.kkt_error)}"
+    # the L1+min-time valley is flat, so compare objectives, not iterates
+    # (both stop at acceptable level; a few 1e-3 relative is the flatness)
+    np.testing.assert_allclose(
+        float(res_r.objective), float(res_d.objective), rtol=5e-3
+    )
+
+
+def test_e2e_riccati_matches_dense_strict():
+    """Non-degenerate bounded problem: backends agree point-to-point."""
+    rng = np.random.default_rng(4)
+    N = 16
+    integ = dtx.BilinearIntegrator.create((G_DRIFT, [G_DRIVE]), "x", "u", None)
+    u = 0.3 * np.sin(np.linspace(0, 5, N))[:, None]
+    xs = dtx.bilinear_rollout(integ, jnp.array([1.0, 0.0]), jnp.asarray(u), 0.12)
+    traj = dtx.Trajectory.create(
+        {"x": np.asarray(xs) + 0.03 * rng.normal(size=(N, 2)), "u": u},
+        timestep=0.12,
+        controls="u",
+        initial={"x": [1.0, 0.0]},
+        final={"x": np.asarray(xs[-1])},
+        bounds={"u": 0.5},
+    )
+    prob = dtx.DirectTrajOptProblem.create(
+        traj, dtx.QuadraticRegularizer.create("u", traj, 1.0), integ
+    )
+    res_d = dtx.solve(prob, backend="dense", max_iter=200)
+    res_r = dtx.solve(prob, backend="riccati", max_iter=200)
+    assert bool(res_d.converged) and bool(res_r.converged)
+    assert float(res_d.kkt_error) < 1e-8 and float(res_r.kkt_error) < 1e-8
+    np.testing.assert_allclose(
+        np.asarray(res_r.ipm.Z), np.asarray(res_d.ipm.Z), atol=1e-6
+    )
+
+
+def test_e2e_riccati_simple_bilinear():
+    rng = np.random.default_rng(0)
+    N = 20
+    integ = dtx.BilinearIntegrator.create((G_DRIFT, [G_DRIVE]), "x", "u", None)
+    u = 0.3 * np.sin(np.linspace(0, 6, N))[:, None]
+    xs = dtx.bilinear_rollout(integ, jnp.array([1.0, 0.0]), jnp.asarray(u), 0.15)
+    traj = dtx.Trajectory.create(
+        {"x": np.asarray(xs) + 0.05 * rng.normal(size=(N, 2)), "u": u},
+        timestep=0.15,
+        controls="u",
+        initial={"x": [1.0, 0.0]},
+        final={"x": np.asarray(xs[-1])},
+    )
+    prob = dtx.DirectTrajOptProblem.create(
+        traj, dtx.QuadraticRegularizer.create("u", traj, 1.0), integ
+    )
+    res = dtx.solve(prob, backend="riccati", max_iter=100)
+    assert bool(res.converged)
+    assert float(res.kkt_error) < 1e-8
