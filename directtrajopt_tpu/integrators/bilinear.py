@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..module import module, static_field
-from ..ops.expm import expm_pade
+from ..ops.expm import expm_pade, expv_taylor
 from ..trajectory import Layout, Trajectory
 
 __all__ = ["BilinearIntegrator"]
@@ -40,7 +40,10 @@ class BilinearIntegrator:
     x_name: str = static_field()
     u_name: str = static_field()
     G_fn: Callable | None = static_field(default=None)
-    squarings: int = static_field(default=8)
+    squarings: int = static_field(default=4)
+    # "pade" (general) or "taylor" (matvec action; fastest when ‖Δt·G‖ ≲ 1)
+    method: str = static_field(default="pade")
+    taylor_order: int = static_field(default=12)
 
     @staticmethod
     def create(
@@ -49,7 +52,9 @@ class BilinearIntegrator:
         u_name: str,
         traj: Trajectory | Layout | None = None,
         *,
-        squarings: int = 8,
+        squarings: int = 4,
+        method: str = "pade",
+        taylor_order: int = 12,
     ) -> "BilinearIntegrator":
         """Build from a callable ``G(u)`` or a ``(G_drift, G_drives)`` pair."""
         if callable(G):
@@ -60,6 +65,8 @@ class BilinearIntegrator:
                 u_name=u_name,
                 G_fn=G,
                 squarings=squarings,
+                method=method,
+                taylor_order=taylor_order,
             )
         G_drift, G_drives = G
         drives = jnp.stack([jnp.asarray(Gi, dtype=float) for Gi in G_drives])
@@ -70,6 +77,8 @@ class BilinearIntegrator:
             u_name=u_name,
             G_fn=None,
             squarings=squarings,
+            method=method,
+            taylor_order=taylor_order,
         )
 
     def system_matrix(self, u: jax.Array) -> jax.Array:
@@ -88,6 +97,8 @@ class BilinearIntegrator:
         u = layout.knot_extract(zk, self.u_name)
         dt = layout.knot_timestep(zk, dtype=w.dtype)
         G = self.system_matrix(u)
+        if self.method == "taylor":
+            return x_next - expv_taylor(dt * G, x, order=self.taylor_order)
         return x_next - expm_pade(dt * G, squarings=self.squarings) @ x
 
     def __repr__(self) -> str:

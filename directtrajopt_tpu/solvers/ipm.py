@@ -151,16 +151,22 @@ def ipm_solve(
 
     s_max = jnp.asarray(100.0, dtype=dtype)
 
-    def barrier_phi(Z, s, mu):
-        """Barrier function φ_μ and ℓ1 constraint violation θ."""
+    def _bar(Z, s):
         dL, dU = bound_dists(Z)
-        bar = (
+        return (
             jnp.sum(jnp.where(mask_L, jnp.log(dL), 0.0))
             + jnp.sum(jnp.where(mask_U, jnp.log(dU), 0.0))
             + jnp.sum(jnp.log(s))
         )
-        theta = jnp.sum(jnp.abs(nlp.c_eq(Z))) + jnp.sum(jnp.abs(nlp.c_in(Z) + s))
-        return nlp.objective(Z) - mu * bar, theta
+
+    def barrier_phi_from(Z, s, mu, c_e, c_i):
+        """φ_μ and θ from precomputed constraint residuals."""
+        theta = jnp.sum(jnp.abs(c_e)) + jnp.sum(jnp.abs(c_i + s))
+        return nlp.objective(Z) - mu * _bar(Z, s), theta
+
+    def barrier_phi(Z, s, mu):
+        """Barrier function φ_μ and ℓ1 constraint violation θ."""
+        return barrier_phi_from(Z, s, mu, nlp.c_eq(Z), nlp.c_in(Z))
 
     def body(st: IPMState) -> IPMState:
         Z, s, lam, nu, zL, zU = st.Z, st.s, st.lam, st.nu, st.zL, st.zU
@@ -268,8 +274,7 @@ def ipm_solve(
             )
 
         # ---- filter line search with second-order correction ------------- #
-        theta0 = jnp.sum(jnp.abs(c_e)) + jnp.sum(jnp.abs(c_i + s))
-        phi0, _ = barrier_phi(Z, s, mu)
+        phi0, theta0 = barrier_phi_from(Z, s, mu, c_e, c_i)
         Dphi = (
             jnp.dot(gf, dZ)
             - mu * jnp.sum(jnp.where(mask_L, dZ / dL, 0.0))
@@ -304,15 +309,18 @@ def ipm_solve(
             phi_t, theta_t = barrier_phi(Zt, st_, mu)
             return phi_t, theta_t
 
-        phi_1, theta_1 = trial(a_pri, dZ, ds)
+        # first trial at the full step; its residuals are shared with the SOC
+        Z_full = nlp.apply_pins(Z + a_pri * dZ)
+        s_full = s + a_pri * ds
+        c_e_full = nlp.c_eq(Z_full)
+        c_i_full = nlp.c_in(Z_full)
+        phi_1, theta_1 = barrier_phi_from(Z_full, s_full, mu, c_e_full, c_i_full)
         acc_1, ftype_1 = acceptable(a_pri, phi_1, theta_1)
 
         # second-order correction (Ipopt §A-5.7) reusing the factorization
-        Z_full = nlp.apply_pins(Z + a_pri * dZ)
-        c_soc = a_pri * c_e + nlp.c_eq(Z_full)
+        c_soc = a_pri * c_e + c_e_full
         if n_in:
-            s_full = s + a_pri * ds
-            ci_soc = a_pri * (c_i + s) + nlp.c_in(Z_full) + s_full
+            ci_soc = a_pri * (c_i + s) + c_i_full + s_full
             g_soc = free * ctx.JiT(D * ci_soc)
         else:
             ci_soc = jnp.zeros((0,), dtype=dtype)
@@ -324,23 +332,15 @@ def ipm_solve(
         acc_s, ftype_s = acceptable(a_soc, phi_s, theta_s)
         use_soc = (~acc_1) & (theta_1 > theta0) & acc_s
 
-        # backtracking if neither the full step nor SOC was accepted
-        need_bt = (~acc_1) & (~use_soc)
-
-        def ls_cond(carry):
-            _, done, t = carry
-            return (~done) & (t < opt.max_ls)
-
-        def ls_body(carry):
-            alpha, _, t = carry
-            new_alpha = alpha * 0.5
-            phi_t, theta_t = trial(new_alpha, dZ, ds)
-            accept, _ = acceptable(new_alpha, phi_t, theta_t)
-            return (new_alpha, accept, t + 1)
-
-        alpha_bt, bt_ok, _ = jax.lax.while_loop(
-            ls_cond, ls_body, (a_pri, ~need_bt, jnp.zeros((), jnp.int32))
-        )
+        # backtracking as a parallel trial grid: evaluate all candidate step
+        # sizes in one batched pass (a sequential while_loop would make every
+        # vmapped lane pay for the slowest lane's backtracks)
+        alphas_bt = a_pri * (0.5 ** jnp.arange(1, options.max_ls + 1, dtype=dtype))
+        phis_bt, thetas_bt = jax.vmap(lambda a: trial(a, dZ, ds))(alphas_bt)
+        accepts_bt = jax.vmap(acceptable)(alphas_bt, phis_bt, thetas_bt)[0]
+        bt_ok = jnp.any(accepts_bt)
+        first_idx = jnp.argmax(accepts_bt)
+        alpha_bt = alphas_bt[first_idx]
         alpha_min = a_pri * (0.5**opt.max_ls)
 
         alpha = jnp.where(
@@ -364,6 +364,20 @@ def ipm_solve(
         nu_new = nu + a_dual * dnu
         zL_new = zL + a_dual * dzL
         zU_new = zU + a_dual * dzU
+
+        # NaN guard: a lane whose step went non-finite freezes at its last
+        # good iterate (it will terminate at the iteration limit)
+        step_ok = (
+            jnp.all(jnp.isfinite(Z_new))
+            & jnp.all(jnp.isfinite(s_new))
+            & jnp.all(jnp.isfinite(lam_new))
+        )
+        Z_new = jnp.where(step_ok, Z_new, Z)
+        s_new = jnp.where(step_ok, s_new, s)
+        lam_new = jnp.where(step_ok, lam_new, lam)
+        nu_new = jnp.where(step_ok, nu_new, nu)
+        zL_new = jnp.where(step_ok, zL_new, zL)
+        zU_new = jnp.where(step_ok, zU_new, zU)
 
         # dual safeguard (Ipopt κ_Σ clamp)
         dLn, dUn = bound_dists(Z_new)

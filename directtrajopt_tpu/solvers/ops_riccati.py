@@ -503,51 +503,77 @@ class _RiccatiCtx:
             [P_all[1:], jnp.zeros((1, n_s, n_s), dtype)], axis=0
         )
 
-        def core_solve(q_blk, b):
-            """Solve the core equality-QP KKT for cost-linear term q and
-            dynamics rhs b. Returns (δz (N,d), λ_stack (N-1,n_s))."""
-            qs = q_blk[:, s_ix]
-            qv = q_blk[:, v_ix]
-            b_p = b * cm
-            b_pad_ = jnp.concatenate([b_p, jnp.zeros((1, n_s), dtype)], axis=0)
+        def core_solve_multi(q_blk, b):
+            """Solve the core equality-QP KKT for R stacked right-hand sides.
+
+            q_blk: (R, N, d) cost-linear terms; b: (R, N-1, n_s) dynamics rhs.
+            Returns (δz (R, N, d), λ_stack (R, N-1, n_s)). One backward and one
+            forward sweep total — the factorization (P, Lvv, gains) is shared,
+            so solving the main step and all border columns costs the same
+            sequential depth as one solve.
+            """
+            R = q_blk.shape[0]
+            qs = jnp.moveaxis(q_blk[:, :, s_ix], 0, 1)  # (N, R, n_s)
+            qv = jnp.moveaxis(q_blk[:, :, v_ix], 0, 1)  # (N, R, n_v)
+            b_p = b * cm[None]
+            b_pad_ = jnp.concatenate(
+                [jnp.moveaxis(b_p, 0, 1), jnp.zeros((1, R, n_s), dtype)], axis=0
+            )  # (N, R, n_s)
 
             def bwd(p_next, inp):
                 qs_k, qv_k, Ab, Bb, bk, P_next, Lv, Mvs = inp
-                w = P_next @ bk + p_next
-                mv = qv_k + Bb.T @ w
-                kff = -jax.scipy.linalg.cho_solve((Lv, True), mv)
-                p = qs_k + Ab.T @ w + Mvs.T @ kff
+                w = bk @ P_next.T + p_next  # (R, n_s)
+                mv = qv_k + w @ Bb  # (R, n_v)
+                kff = -jax.scipy.linalg.cho_solve((Lv, True), mv.T).T
+                p = qs_k + w @ Ab + kff @ Mvs
                 return p, (kff, p)
 
             p0, (kff_all, p_all) = jax.lax.scan(
                 bwd,
-                jnp.zeros((n_s,), dtype),
+                jnp.zeros((R, n_s), dtype),
                 (qs, qv, Abar_p, Bbar_p, b_pad_, P_next_all, Lv_all, Mvs_all),
                 reverse=True,
             )
 
-            ds0 = -jax.scipy.linalg.cho_solve((L0, True), p0 * s0m) * s0m
+            ds0 = -jax.scipy.linalg.cho_solve((L0, True), (p0 * s0m[None]).T).T * s0m[None]
 
             def fwd(s_k, inp):
                 Kg, kff, Ab, Bb, bk = inp
-                v_k = Kg @ s_k + kff
-                s_next = Ab @ s_k + Bb @ v_k + bk
+                v_k = s_k @ Kg.T + kff
+                s_next = s_k @ Ab.T + v_k @ Bb.T + bk
                 return s_next, (s_k, v_k)
 
             _, (s_all, v_all) = jax.lax.scan(
                 fwd, ds0, (Kg_all, kff_all, Abar_p, Bbar_p, b_pad_)
-            )
-            dz = jnp.zeros((N, d), dtype=dtype)
-            dz = dz.at[:, s_ix].set(s_all)
-            dz = dz.at[:, v_ix].set(v_all)
+            )  # (N, R, ·)
+            dz = jnp.zeros((N, R, d), dtype=dtype)
+            dz = dz.at[:, :, s_ix].set(s_all)
+            dz = dz.at[:, :, v_ix].set(v_all)
+            dz = jnp.moveaxis(dz, 0, 1)  # (R, N, d)
 
             # dynamics multipliers: λ_k = −(P_{k+1} δs_{k+1} + p_{k+1})
             lam_stack = -(
-                jnp.einsum("kij,kj->ki", P_all[1:], s_all[1:]) + p_all[1:]
+                jnp.einsum("kij,krj->rki", P_all[1:], s_all[1:]) + jnp.moveaxis(p_all[1:], 1, 0)
             )
-            return dz, lam_stack * cm
+            return dz, lam_stack * cm[None]
 
         m_c = C.shape[0]
+
+        # border columns + Schur factor, computed once per factorization and
+        # shared by the main solve and any resolve (SOC) calls
+        if m_c:
+            Xz, Xlam = core_solve_multi(
+                -C, jnp.zeros((m_c, N - 1, n_s), dtype)
+            )
+            Smat = jnp.einsum("jnd,knd->jk", C, Xz) + opt.delta_c * jnp.eye(
+                m_c, dtype=dtype
+            )
+            Ls = jnp.linalg.cholesky(Smat)
+            ok_s_factor = jnp.all(jnp.isfinite(Ls))
+            Ls = jnp.where(jnp.isfinite(Ls), Ls, jnp.eye(m_c, dtype=dtype))
+        else:
+            Xz = Xlam = Ls = None
+            ok_s_factor = jnp.asarray(True)
 
         def full_solve(rhs_z_blk, rhs_c_flat):
             """Solve core + border for one rhs. rhs_z_blk: (N,d)."""
@@ -561,20 +587,11 @@ class _RiccatiCtx:
             b_dyn = rhs_c_flat[jnp.asarray(S.dyn_flat_of_stack.reshape(-1))].reshape(
                 N - 1, n_s
             )
-            dz0, lam0 = core_solve(-rhs_z_blk, b_dyn)
+            dz0, lam0 = core_solve_multi(-rhs_z_blk[None], b_dyn[None])
+            dz0, lam0 = dz0[0], lam0[0]
             if m_c == 0:
                 return dz0, lam0, jnp.zeros((0,), dtype), jnp.asarray(True)
 
-            # border columns: q_col = −C_j (rhs_z = C_j'), b = 0
-            Xz, Xlam = jax.vmap(lambda c: core_solve(-c, jnp.zeros((N - 1, n_s), dtype)))(
-                C
-            )
-            Smat = jnp.einsum("jnd,knd->jk", C, Xz) + opt.delta_c * jnp.eye(
-                m_c, dtype=dtype
-            )
-            Ls = jnp.linalg.cholesky(Smat)
-            oks = jnp.all(jnp.isfinite(Ls))
-            Ls = jnp.where(jnp.isfinite(Ls), Ls, jnp.eye(m_c, dtype=dtype))
             rcc_j = _border_rhs(rhs_c_flat)
             resid = jnp.einsum("jnd,nd->j", C, dz0) - rcc_j
             lam_c = jax.scipy.linalg.cho_solve((Ls, True), resid)
@@ -593,7 +610,7 @@ class _RiccatiCtx:
             # penalized rows, so λc = λ̃c + ρ(C dz − r) there
             r_b = jnp.einsum("jnd,nd->j", C, dz) - rcc_j
             lam_c = lam_c + rho * loc_border_mask * r_b
-            return dz, lam_stack, lam_c, oks
+            return dz, lam_stack, lam_c, ok_s_factor
 
         def _border_rhs(rhs_c_flat):
             parts = []

@@ -40,7 +40,7 @@ class IPMOptions:
     eta_ls: float = 1e-4  # Armijo constant
     rho_init: float = 1.0  # initial ℓ1 penalty
     theta_rho: float = 0.5
-    max_ls: int = static_field(default=25)
+    max_ls: int = static_field(default=10)
     # -- inertia regularization ------------------------------------------- #
     delta_w_init: float = 1e-8
     delta_w_max: float = 1e10

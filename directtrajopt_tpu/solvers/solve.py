@@ -104,6 +104,18 @@ def solve_jit(
     return _solve_jitted(problem, options, backend)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _batched_solver(backend: str):
+    # cached so repeated solve_batch calls reuse the traced+compiled program
+    # (rebuilding the jit wrapper per call would re-trace the whole IPM graph)
+    return jax.jit(
+        jax.vmap(partial(_solve_impl, backend=backend), in_axes=(0, None))
+    )
+
+
 def solve_batch(
     problems: DirectTrajOptProblem,
     options: IPMOptions | None = None,
@@ -117,9 +129,7 @@ def solve_batch(
     numeric data (initial states, goals, dynamics parameters, weights...).
     """
     options = _merge_options(options, kwargs)
-    return jax.jit(
-        jax.vmap(partial(_solve_impl, backend=backend), in_axes=(0, None))
-    )(problems, options)
+    return _batched_solver(backend)(problems, options)
 
 
 def _merge_options(options: IPMOptions | None, kwargs: dict) -> IPMOptions:
