@@ -26,7 +26,12 @@ from .constraints import (
     TimeStepsAllEqualConstraint,
     TotalConstraint,
 )
-from .integrators import BilinearIntegrator, DerivativeIntegrator
+from .integrators import (
+    BilinearIntegrator,
+    DerivativeIntegrator,
+    GeneralIntegrator,
+    TimeDependentBilinearIntegrator,
+)
 from .module import HashableArray, module, static_field
 from .objectives import (
     CompositeObjective,
@@ -44,13 +49,19 @@ from .objectives import (
 from .problem import DirectTrajOptProblem, get_trajectory_constraints
 from .rollout import bilinear_rollout, rollout, rollout_fidelity
 from .solvers import (
+    IPMCallbacks,
     IPMOptions,
     SolveResult,
+    best_fidelity_tracker,
+    fidelity_stop,
     make_nlp,
+    say_hello,
     solve,
+    stop_iteration,
     solve_batch,
     solve_jit,
 )
 from .trajectory import Layout, Trajectory, traj_index, traj_slice
+from .utils.mpc import mpc_step, shift_trajectory
 
 __version__ = "0.1.0"

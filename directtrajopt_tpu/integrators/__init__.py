@@ -8,10 +8,18 @@ from .base import (
 )
 from .bilinear import BilinearIntegrator
 from .derivative import DerivativeIntegrator
+from .time_dependent import (
+    GeneralIntegrator,
+    TimeDependentBilinearIntegrator,
+    rk4_step,
+)
 
 __all__ = [
     "BilinearIntegrator",
     "DerivativeIntegrator",
+    "GeneralIntegrator",
+    "TimeDependentBilinearIntegrator",
+    "rk4_step",
     "evaluate",
     "integrator_dim",
     "stack_hessians",

@@ -1,0 +1,157 @@
+"""Time-dependent bilinear integrator and general explicit-ODE integrator.
+
+``TimeDependentBilinearIntegrator`` mirrors
+`/root/reference/src/integrators/time_dependent_bilinear_integrator.jl:60-132`:
+residual ``x_{k+1} − ODESolve(ẋ = Δt·G(u(τ), t_k + τΔt)·x, τ∈[0,1])`` with the
+control interpolated at spline order 0 (ZOH: u_k) or 1 (linear between u_k and
+u_{k+1} — note order 1 couples the residual to BOTH knots,
+`time_dependent_bilinear_integrator.jl:161-163`). The reference differentiates
+through an adaptive Tsit5 solve; adaptive stepping doesn't jit, so here the
+solve is a fixed-step RK4 (`n_steps` static) — a fixed chain the compiler
+fuses and AD traverses exactly (the reference's own tests only require
+atol=1e-3 agreement, `:248-269`).
+
+``GeneralIntegrator`` covers arbitrary explicit dynamics ``ẋ = f(x, u)``
+(cartpole-class problems) with Euler or RK4 stepping — a capability the
+reference composes out of DerivativeIntegrators + nonlinear constraints.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..module import module, static_field
+from ..trajectory import Layout, Trajectory
+
+__all__ = ["TimeDependentBilinearIntegrator", "GeneralIntegrator", "rk4_step"]
+
+
+def rk4_step(f: Callable, x: jax.Array, h, *args) -> jax.Array:
+    k1 = f(x, *args)
+    k2 = f(x + 0.5 * h * k1, *args)
+    k3 = f(x + 0.5 * h * k2, *args)
+    k4 = f(x + h * k3, *args)
+    return x + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+@module
+class TimeDependentBilinearIntegrator:
+    """``x_{k+1} = ODESolve(ẋ = G(u(τ), t)·x)`` with spline-interpolated u."""
+
+    G_fn: Callable = static_field()
+    x_name: str = static_field()
+    u_name: str = static_field()
+    t_name: str = static_field(default="t")
+    spline_order: int = static_field(default=1)
+    n_steps: int = static_field(default=10)
+
+    @staticmethod
+    def create(
+        G: Callable,
+        x_name: str,
+        u_name: str,
+        t_name: str,
+        traj: Trajectory | None = None,
+        *,
+        spline_order: int = 1,
+        n_steps: int = 10,
+    ) -> "TimeDependentBilinearIntegrator":
+        if spline_order not in (0, 1):
+            raise ValueError(f"unsupported spline order {spline_order}")
+        return TimeDependentBilinearIntegrator(
+            G_fn=G,
+            x_name=x_name,
+            u_name=u_name,
+            t_name=t_name,
+            spline_order=spline_order,
+            n_steps=n_steps,
+        )
+
+    @property
+    def explicit(self) -> bool:
+        # order 1 couples u_{k+1}, breaking the x_{k+1} − F(z_k) form the
+        # Riccati core requires; order 0 (ZOH) is explicit
+        return self.spline_order == 0
+
+    def residual_dim(self, layout: Layout) -> int:
+        return layout.dim_of(self.x_name)
+
+    def residual(self, layout: Layout, w: jax.Array, k: jax.Array) -> jax.Array:
+        dim = layout.dim
+        zk, zk1 = w[:dim], w[dim:]
+        x = layout.knot_extract(zk, self.x_name)
+        x_next = layout.knot_extract(zk1, self.x_name)
+        u_k = layout.knot_extract(zk, self.u_name)
+        t_k = layout.knot_extract(zk, self.t_name)[0]
+        dt = layout.knot_timestep(zk, dtype=w.dtype)
+
+        if self.spline_order == 0:
+            u_of = lambda tau: u_k
+        else:
+            u_k1 = layout.knot_extract(zk1, self.u_name)
+            u_of = lambda tau: u_k + tau * (u_k1 - u_k)
+
+        h = 1.0 / self.n_steps
+
+        def ode(x_, tau):
+            return dt * (self.G_fn(u_of(tau), t_k + tau * dt) @ x_)
+
+        y = x
+        for i in range(self.n_steps):
+            tau0 = i * h
+            # RK4 with τ-dependent right-hand side
+            k1 = ode(y, tau0)
+            k2 = ode(y + 0.5 * h * k1, tau0 + 0.5 * h)
+            k3 = ode(y + 0.5 * h * k2, tau0 + 0.5 * h)
+            k4 = ode(y + h * k3, tau0 + h)
+            y = y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        return x_next - y
+
+    def __repr__(self):
+        return (
+            f"TimeDependentBilinearIntegrator: {self.x_name} = "
+            f"ODESolve(G({self.u_name}(τ), {self.t_name})) (order "
+            f"{self.spline_order})"
+        )
+
+
+@module
+class GeneralIntegrator:
+    """Explicit discretization of ``ẋ = f(x, u)``: Euler or RK4 step."""
+
+    f: Callable = static_field()
+    x_name: str = static_field()
+    u_name: str = static_field()
+    scheme: str = static_field(default="rk4")  # "euler" | "rk4"
+
+    explicit = True
+
+    @staticmethod
+    def create(
+        f: Callable, x_name: str, u_name: str, traj=None, *, scheme: str = "rk4"
+    ) -> "GeneralIntegrator":
+        if scheme not in ("euler", "rk4"):
+            raise ValueError(f"unknown scheme {scheme}")
+        return GeneralIntegrator(f=f, x_name=x_name, u_name=u_name, scheme=scheme)
+
+    def residual_dim(self, layout: Layout) -> int:
+        return layout.dim_of(self.x_name)
+
+    def residual(self, layout: Layout, w: jax.Array, k: jax.Array) -> jax.Array:
+        dim = layout.dim
+        zk, zk1 = w[:dim], w[dim:]
+        x = layout.knot_extract(zk, self.x_name)
+        x_next = layout.knot_extract(zk1, self.x_name)
+        u = layout.knot_extract(zk, self.u_name)
+        dt = layout.knot_timestep(zk, dtype=w.dtype)
+        if self.scheme == "euler":
+            y = x + dt * self.f(x, u)
+        else:
+            y = rk4_step(lambda x_, u_: self.f(x_, u_), x, dt, u)
+        return x_next - y
+
+    def __repr__(self):
+        return f"GeneralIntegrator({self.scheme}): {self.x_name}' = f({self.x_name}, {self.u_name})"

@@ -10,12 +10,16 @@ from .global_objectives import (
     GlobalObjective,
     GlobalTerminalObjective,
 )
+from .knot_hvp import ConstantLowRankHVP, CustomKnotHVP, knot_hvp_of
 from .knot_point import KnotPointObjective, TerminalObjective, knot_hvp
 from .minimum_time import MinimumTimeObjective
 from .regularizers import LinearRegularizer, QuadraticRegularizer
 
 __all__ = [
     "CompositeObjective",
+    "ConstantLowRankHVP",
+    "CustomKnotHVP",
+    "knot_hvp_of",
     "GlobalKnotPointObjective",
     "GlobalObjective",
     "GlobalTerminalObjective",

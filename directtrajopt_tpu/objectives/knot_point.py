@@ -33,6 +33,7 @@ class KnotPointObjective(ObjectiveBase):
 
     Qs: jax.Array  # (N,) weights (zero off-times)
     params: jax.Array | None  # (N, ...) per-knot parameters or None
+    hvp_carrier: object | None  # declared KnotHVP capability (API parity)
     ell: Callable = static_field()
     var_names: tuple[str, ...] = static_field()
     takes_params: bool = static_field(default=False)
@@ -46,6 +47,7 @@ class KnotPointObjective(ObjectiveBase):
         *,
         times: Sequence[int] | None = None,
         Qs: Sequence[float] | None = None,
+        knot_hvp=None,
     ) -> "KnotPointObjective":
         if isinstance(names, str):
             names = (names,)
@@ -68,6 +70,7 @@ class KnotPointObjective(ObjectiveBase):
         return KnotPointObjective(
             Qs=jnp.asarray(q_full * mask),
             params=params_full,
+            hvp_carrier=knot_hvp,
             ell=ell,
             var_names=names,
             takes_params=takes_params,

@@ -1,3 +1,10 @@
+from .callbacks import (
+    IPMCallbacks,
+    best_fidelity_tracker,
+    fidelity_stop,
+    say_hello,
+    stop_iteration,
+)
 from .canonical import CanonicalNLP, make_nlp
 from .ipm import IPMResult, IPMState, ipm_solve
 from .options import IPMOptions
@@ -5,6 +12,11 @@ from .solve import SolveResult, solve, solve_batch, solve_jit
 
 __all__ = [
     "CanonicalNLP",
+    "IPMCallbacks",
+    "best_fidelity_tracker",
+    "fidelity_stop",
+    "say_hello",
+    "stop_iteration",
     "IPMOptions",
     "IPMResult",
     "IPMState",

@@ -1,0 +1,124 @@
+"""Solver callbacks — the TPU-native analog of the reference's ``Callbacks``
+module (`/root/reference/src/solvers/ipopt_solver/callbacks.jl`) and the
+solver-agnostic ``AbstractIntermediateCallback`` contract
+(`src/solvers/_solvers.jl:21-59`).
+
+The reference's callbacks run in the Ipopt C loop; ours run inside the jitted
+``lax.while_loop``, split by where each capability naturally lives:
+
+* **host monitoring** (``say_hello``, iteration printers, external loggers):
+  a Python function invoked per iteration through ``jax.debug.callback`` with
+  a summary dict (iter, μ, objective, KKT error, θ) and optionally the primal;
+* **device stop conditions** (``stop_iteration``, ``rollout_fidelity``'s
+  fidelity-threshold early stop): a pure predicate ``(Z, iter) -> bool``
+  evaluated in the loop body — batched instances stop independently;
+* **on-device history** (``update_trajectory_history``): a static-size ring
+  buffer of iterates carried through the loop and returned with the result —
+  also the mid-solve checkpoint story (the reference syncs the trajectory
+  every iteration so Ctrl-C keeps progress; here the history ring plays that
+  role since the device loop is atomic);
+* **best-snapshot tracking** (``best_rollout_fidelity``): a score function
+  whose argmax iterate is carried and returned.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..module import module, static_field
+from ..rollout import rollout_fidelity
+
+__all__ = [
+    "IPMCallbacks",
+    "say_hello",
+    "stop_iteration",
+    "fidelity_stop",
+    "best_fidelity_tracker",
+]
+
+
+@module
+class IPMCallbacks:
+    """Composable per-iteration hooks for :func:`ipm_solve`.
+
+    Fields (all optional):
+      * ``host_fn(info: dict) -> None`` — called on the host each iteration
+        (through ``jax.debug.callback``; arrays are batched under vmap).
+      * ``include_primal`` — also pass the primal iterate ``Z`` to host_fn.
+      * ``stop_fn(Z, iteration) -> bool`` — device-side early-stop predicate,
+        checked every ``stop_every`` iterations.
+      * ``history_size`` — keep a ring buffer of the last K iterates.
+      * ``score_fn(Z) -> scalar`` — track the best-scoring iterate seen.
+    """
+
+    host_fn: Callable | None = static_field(default=None)
+    include_primal: bool = static_field(default=False)
+    stop_fn: Callable | None = static_field(default=None)
+    stop_every: int = static_field(default=1)
+    history_size: int = static_field(default=0)
+    score_fn: Callable | None = static_field(default=None)
+
+    def merged_with(self, other: "IPMCallbacks | None") -> "IPMCallbacks":
+        if other is None:
+            return self
+        return IPMCallbacks(
+            host_fn=self.host_fn or other.host_fn,
+            include_primal=self.include_primal or other.include_primal,
+            stop_fn=self.stop_fn or other.stop_fn,
+            stop_every=min(self.stop_every, other.stop_every),
+            history_size=max(self.history_size, other.history_size),
+            score_fn=self.score_fn or other.score_fn,
+        )
+
+
+def say_hello(name: str = "solver") -> IPMCallbacks:
+    """Reference `callbacks.jl` ``say_hello`` — host print each iteration."""
+
+    def hello(info):
+        print(f"hello from {name}: iteration {info['iteration']}")
+
+    return IPMCallbacks(host_fn=hello)
+
+
+def stop_iteration(max_iterations: int) -> IPMCallbacks:
+    """Stop after a fixed number of iterations
+    (`callbacks.jl` ``callback_stop_iteration``)."""
+    return IPMCallbacks(stop_fn=lambda Z, it: it >= max_iterations)
+
+
+def fidelity_stop(
+    integrator,
+    traj_template,
+    goal,
+    fid_threshold: float = 0.999,
+    every: int = 1,
+    x_name: str | None = None,
+) -> IPMCallbacks:
+    """Early stop when the rolled-out fidelity crosses a threshold
+    (`callbacks.jl` ``callback_rollout_fidelity_factory``) — the rollout runs
+    on device inside the solve loop."""
+    goal = jnp.asarray(goal)
+
+    def stop(Z, it):
+        tr = traj_template.from_zvec(Z)
+        fid = rollout_fidelity(integrator, tr, goal, x_name)
+        return fid >= fid_threshold
+
+    return IPMCallbacks(stop_fn=stop, stop_every=every)
+
+
+def best_fidelity_tracker(
+    integrator, traj_template, goal, x_name: str | None = None
+) -> IPMCallbacks:
+    """Track the iterate with the best rolled-out fidelity
+    (`callbacks.jl` ``best_rollout_fidelity``)."""
+    goal = jnp.asarray(goal)
+
+    def score(Z):
+        tr = traj_template.from_zvec(Z)
+        return rollout_fidelity(integrator, tr, goal, x_name)
+
+    return IPMCallbacks(score_fn=score)

@@ -63,8 +63,13 @@ class IPMState(NamedTuple):
     iter: jax.Array
     converged: jax.Array
     acc_count: jax.Array  # consecutive iterations at acceptable tolerance
+    stopped: jax.Array  # user callback requested stop
     err: jax.Array  # overall KKT error at μ=0
     obj: jax.Array
+    history_Z: jax.Array  # (K, z_dim) iterate ring buffer (K may be 0)
+    hist_n: jax.Array
+    best_score: jax.Array
+    best_Z: jax.Array
 
 
 class IPMResult(NamedTuple):
@@ -72,9 +77,12 @@ class IPMResult(NamedTuple):
     state: IPMState
     iterations: jax.Array
     converged: jax.Array
-    status: jax.Array  # 0=optimal, 1=acceptable, 2=iteration limit
+    status: jax.Array  # 0=optimal, 1=acceptable, 2=iteration limit, 3=callback stop
     kkt_error: jax.Array
     objective: jax.Array
+    history_Z: jax.Array
+    best_Z: jax.Array
+    best_score: jax.Array
 
 
 def _masked_min(x, mask, initial):
@@ -86,8 +94,15 @@ def ipm_solve(
     Z0: jax.Array,
     options: IPMOptions,
     ops=None,
+    callbacks=None,
 ) -> IPMResult:
-    """Run the interior-point method from ``Z0`` (one instance; vmap outside)."""
+    """Run the interior-point method from ``Z0`` (one instance; vmap outside).
+
+    ``callbacks``: an optional :class:`IPMCallbacks` with host monitoring,
+    device stop conditions, iterate history, and best-snapshot tracking.
+    """
+    cb = callbacks
+    hist_k = cb.history_size if cb else 0
     if ops is None:
         from .ops_dense import DenseOps
 
@@ -145,8 +160,13 @@ def ipm_solve(
         iter=jnp.zeros((), dtype=jnp.int32),
         converged=jnp.asarray(False),
         acc_count=jnp.zeros((), dtype=jnp.int32),
+        stopped=jnp.asarray(False),
         err=jnp.asarray(_BIG, dtype=dtype),
         obj=nlp.objective(Z_init),
+        history_Z=jnp.zeros((hist_k, z_dim), dtype=dtype),
+        hist_n=jnp.zeros((), dtype=jnp.int32),
+        best_score=jnp.asarray(-jnp.inf, dtype=dtype),
+        best_Z=Z_init,
     )
 
     s_max = jnp.asarray(100.0, dtype=dtype)
@@ -420,6 +440,37 @@ def ipm_solve(
                 ok=ok,
             )
 
+        # ---- user callbacks ---------------------------------------------- #
+        obj_new = nlp.objective(Z_new)
+        if cb is not None and cb.host_fn is not None:
+            info = {
+                "iteration": st.iter,
+                "mu": mu,
+                "objective": obj_new,
+                "kkt_error": e_0,
+                "theta": theta0,
+            }
+            if cb.include_primal:
+                info["Z"] = Z_new
+            jax.debug.callback(cb.host_fn, info)
+        if cb is not None and cb.stop_fn is not None:
+            due = (st.iter % cb.stop_every) == 0
+            user_stop = due & cb.stop_fn(Z_new, st.iter)
+        else:
+            user_stop = jnp.asarray(False)
+        if hist_k:
+            history_Z = st.history_Z.at[st.iter % hist_k].set(Z_new)
+            hist_n = st.hist_n + 1
+        else:
+            history_Z, hist_n = st.history_Z, st.hist_n
+        if cb is not None and cb.score_fn is not None:
+            sc = cb.score_fn(Z_new)
+            better = sc > st.best_score
+            best_score = jnp.where(better, sc, st.best_score)
+            best_Z = jnp.where(better, Z_new, st.best_Z)
+        else:
+            best_score, best_Z = st.best_score, st.best_Z
+
         return IPMState(
             Z=Z_new,
             s=s_new,
@@ -437,13 +488,19 @@ def ipm_solve(
             iter=st.iter + jnp.where(stop_now, 0, 1),
             converged=conv_now,
             acc_count=acc_count,
+            stopped=st.stopped | user_stop,
             err=e_0,
-            obj=nlp.objective(Z_new),
+            obj=obj_new,
+            history_Z=history_Z,
+            hist_n=hist_n,
+            best_score=best_score,
+            best_Z=best_Z,
         )
 
     def cond(st: IPMState):
         return (
             (~st.converged)
+            & (~st.stopped)
             & (st.acc_count < options.acceptable_iter)
             & (st.iter < options.max_iter)
         )
@@ -452,7 +509,11 @@ def ipm_solve(
     status = jnp.where(
         final.converged,
         0,
-        jnp.where(final.acc_count >= options.acceptable_iter, 1, 2),
+        jnp.where(
+            final.acc_count >= options.acceptable_iter,
+            1,
+            jnp.where(final.stopped, 3, 2),
+        ),
     )
     return IPMResult(
         Z=final.Z,
@@ -462,4 +523,7 @@ def ipm_solve(
         status=status,
         kkt_error=final.err,
         objective=final.obj,
+        history_Z=final.history_Z,
+        best_Z=final.best_Z,
+        best_score=final.best_score,
     )

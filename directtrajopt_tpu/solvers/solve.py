@@ -51,11 +51,14 @@ def _make_ops(nlp, backend: str):
 
 
 def _solve_impl(
-    problem: DirectTrajOptProblem, options: IPMOptions, backend: str = "auto"
+    problem: DirectTrajOptProblem,
+    options: IPMOptions,
+    backend: str = "auto",
+    callbacks=None,
 ) -> SolveResult:
     nlp = make_nlp(problem)
     Z0 = problem.trajectory.to_zvec()
-    res = ipm_solve(nlp, Z0, options, ops=_make_ops(nlp, backend))
+    res = ipm_solve(nlp, Z0, options, ops=_make_ops(nlp, backend), callbacks=callbacks)
     new_traj = problem.trajectory.from_zvec(res.Z)
     new_prob = problem.replace(trajectory=new_traj)
     return SolveResult(
@@ -74,6 +77,7 @@ def solve(
     options: IPMOptions | None = None,
     *,
     backend: str = "auto",
+    callbacks=None,
     **kwargs: Any,
 ) -> SolveResult:
     """Solve a problem (eager). Keyword args override option fields, mirroring
@@ -81,15 +85,16 @@ def solve(
     (`src/solvers/ipopt_solver/solver.jl:18-37`).
 
     ``backend``: "auto" (Riccati when the problem is an explicit OCP, dense
-    otherwise), "riccati", or "dense".
+    otherwise), "riccati", or "dense". ``callbacks``: an IPMCallbacks bundle
+    (host monitoring / early stop / history / best tracking).
     """
     options = _merge_options(options, kwargs)
-    return _solve_impl(problem, options, backend)
+    return _solve_impl(problem, options, backend, callbacks)
 
 
-@partial(jax.jit, static_argnames=("backend",))
-def _solve_jitted(problem, options, backend):
-    return _solve_impl(problem, options, backend)
+@partial(jax.jit, static_argnames=("backend", "callbacks"))
+def _solve_jitted(problem, options, backend, callbacks):
+    return _solve_impl(problem, options, backend, callbacks)
 
 
 def solve_jit(
@@ -97,22 +102,26 @@ def solve_jit(
     options: IPMOptions | None = None,
     *,
     backend: str = "auto",
+    callbacks=None,
     **kwargs: Any,
 ) -> SolveResult:
     """Jitted solve — compiled once per problem structure."""
     options = _merge_options(options, kwargs)
-    return _solve_jitted(problem, options, backend)
+    return _solve_jitted(problem, options, backend, callbacks)
 
 
 from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
-def _batched_solver(backend: str):
+def _batched_solver(backend: str, callbacks=None):
     # cached so repeated solve_batch calls reuse the traced+compiled program
     # (rebuilding the jit wrapper per call would re-trace the whole IPM graph)
     return jax.jit(
-        jax.vmap(partial(_solve_impl, backend=backend), in_axes=(0, None))
+        jax.vmap(
+            partial(_solve_impl, backend=backend, callbacks=callbacks),
+            in_axes=(0, None),
+        )
     )
 
 
@@ -121,6 +130,7 @@ def solve_batch(
     options: IPMOptions | None = None,
     *,
     backend: str = "auto",
+    callbacks=None,
     **kwargs: Any,
 ) -> SolveResult:
     """Solve a stacked batch of problems (leading batch axis on every leaf).
@@ -129,7 +139,7 @@ def solve_batch(
     numeric data (initial states, goals, dynamics parameters, weights...).
     """
     options = _merge_options(options, kwargs)
-    return _batched_solver(backend)(problems, options)
+    return _batched_solver(backend, callbacks)(problems, options)
 
 
 def _merge_options(options: IPMOptions | None, kwargs: dict) -> IPMOptions:

@@ -1,0 +1,124 @@
+"""TimeDependentBilinearIntegrator + GeneralIntegrator tests, mirroring the
+reference's testitems (`time_dependent_bilinear_integrator.jl:248-269` — which
+itself only requires loose agreement through the ODE solve)."""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+import directtrajopt_tpu as dtx
+from directtrajopt_tpu.integrators import stack_residuals
+from directtrajopt_tpu.solvers import make_nlp
+from directtrajopt_tpu.solvers.ops_riccati import analyze
+from directtrajopt_tpu.utils.testing import check_integrator
+
+G_DRIFT = np.array([[0.0, 1.0], [-1.0, 0.0]])
+G_DRIVE = np.array([[0.0, 1.0], [1.0, 0.0]])
+
+
+def td_traj(N=8, seed=0):
+    rng = np.random.default_rng(seed)
+    dts = np.full((N, 1), 0.1)
+    return dtx.Trajectory.create(
+        {
+            "x": rng.normal(size=(N, 2)) * 0.5,
+            "u": rng.normal(size=(N, 1)) * 0.3,
+            "t": np.cumsum(dts, axis=0) - 0.1,
+            "dt": dts,
+        },
+        timestep="dt",
+        controls="u",
+    )
+
+
+def test_td_matches_bilinear_when_time_independent():
+    """With G independent of t and ZOH control, the ODE solve must agree with
+    the exact matrix exponential."""
+    traj = td_traj()
+    G = lambda u, t: jnp.asarray(G_DRIFT) + u[0] * jnp.asarray(G_DRIVE)
+    td = dtx.TimeDependentBilinearIntegrator.create(
+        G, "x", "u", "t", traj, spline_order=0, n_steps=20
+    )
+    res = np.asarray(stack_residuals(td, traj.layout, traj.knot_matrix()))
+    for k in range(traj.N - 1):
+        u = float(traj.data["u"][k, 0])
+        expect = np.asarray(traj.data["x"][k + 1]) - scipy.linalg.expm(
+            0.1 * (G_DRIFT + u * G_DRIVE)
+        ) @ np.asarray(traj.data["x"][k])
+        np.testing.assert_allclose(res[k], expect, atol=1e-9)
+
+
+def test_td_time_dependence_and_derivatives():
+    traj = td_traj()
+    G = lambda u, t: (1.0 + 0.3 * jnp.sin(t)) * jnp.asarray(G_DRIFT) + u[0] * jnp.asarray(
+        G_DRIVE
+    )
+    for order in (0, 1):
+        td = dtx.TimeDependentBilinearIntegrator.create(
+            G, "x", "u", "t", traj, spline_order=order, n_steps=8
+        )
+        check_integrator(td, traj, atol=1e-4, hessian_atol=1e-3)
+
+
+def test_td_riccati_eligibility():
+    traj = td_traj()
+    G = lambda u, t: jnp.asarray(G_DRIFT) + u[0] * jnp.asarray(G_DRIVE)
+    obj = dtx.QuadraticRegularizer.create("u", traj, 1.0)
+    for order, eligible in [(0, True), (1, False)]:
+        td = dtx.TimeDependentBilinearIntegrator.create(
+            G, "x", "u", "t", traj, spline_order=order
+        )
+        prob = dtx.DirectTrajOptProblem.create(traj, obj, td)
+        assert (analyze(make_nlp(prob)) is not None) == eligible
+
+
+def test_general_integrator_pendulum():
+    """Pendulum reach with RK4 general dynamics, feasible by rollout."""
+    N = 25
+    dt = 0.1
+
+    def f(x, u):
+        return jnp.array([x[1], u[0] - jnp.sin(x[0])])
+
+    integ = dtx.GeneralIntegrator.create(f, "x", "u")
+    # roll out a control profile to build a feasible goal
+    u_prof = 0.4 * np.sin(np.linspace(0, 3, N))[:, None]
+    x = np.zeros((N, 2))
+    x[0] = [0.5, 0.0]
+    lay_probe = None
+    from directtrajopt_tpu.integrators.time_dependent import rk4_step
+
+    for k in range(N - 1):
+        x[k + 1] = np.asarray(
+            rk4_step(lambda x_, u_: f(x_, u_), jnp.asarray(x[k]), dt, jnp.asarray(u_prof[k]))
+        )
+    traj = dtx.Trajectory.create(
+        {"x": x, "u": u_prof},
+        timestep=dt,
+        controls="u",
+        initial={"x": x[0]},
+        final={"x": x[-1]},
+        bounds={"u": 1.0},
+    )
+    check_integrator(integ, traj, atol=1e-5, hessian_atol=1e-3)
+    prob = dtx.DirectTrajOptProblem.create(
+        traj, dtx.QuadraticRegularizer.create("u", traj, 1.0), integ
+    )
+    res = dtx.solve(prob, max_iter=200)
+    assert bool(res.converged)
+    assert float(res.kkt_error) < 1e-7
+    xN = np.asarray(res.problem.trajectory.data["x"][-1])
+    np.testing.assert_allclose(xN, x[-1], atol=1e-6)
+
+
+def test_general_integrator_euler():
+    def f(x, u):
+        return jnp.array([u[0]])
+
+    integ = dtx.GeneralIntegrator.create(f, "x", "u", scheme="euler")
+    N = 6
+    traj = dtx.Trajectory.create(
+        {"x": np.zeros((N, 1)), "u": np.ones((N, 1))}, timestep=0.5
+    )
+    res = np.asarray(stack_residuals(integ, traj.layout, traj.knot_matrix()))
+    np.testing.assert_allclose(res, -0.5, atol=1e-12)  # x_{k+1} - x_k - dt*u
