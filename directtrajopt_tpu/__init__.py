@@ -10,6 +10,8 @@ vmapped over scenario batches and shardable over device meshes.
 
 from .constraints import (
     AllEqualConstraint,
+    fix_global_variable,
+    fix_trajectory_variable,
     BoundsConstraint,
     DurationConstraint,
     EqualityConstraint,

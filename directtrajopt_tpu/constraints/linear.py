@@ -21,6 +21,8 @@ from .base import LinearCanon, LinearConstraintBase
 __all__ = [
     "EqualityConstraint",
     "GlobalEqualityConstraint",
+    "fix_trajectory_variable",
+    "fix_global_variable",
     "BoundsConstraint",
     "GlobalBoundsConstraint",
     "AllEqualConstraint",
@@ -114,6 +116,29 @@ class GlobalEqualityConstraint(LinearConstraintBase):
         idx = np.arange(gs.start, gs.stop)
         vals = jnp.broadcast_to(self.values, (len(idx),))
         canon.pin(idx, vals)
+
+
+def fix_trajectory_variable(traj, name: str, times, values):
+    """Pin a trajectory variable, removing any conflicting bounds first —
+    the analog of the reference's ``fix_trajectory_variable!``
+    (`src/constraints/linear/equality_constraint.jl:125-178`, which exists
+    because MOI errors on conflicting variable sets; here bounds on pinned
+    coordinates are ignored by construction, so this simply drops the bound
+    metadata and returns (trajectory, constraint))."""
+    new_bounds = {k: v for k, v in traj.bounds.items() if k != name}
+    traj2 = traj.replace(bounds=new_bounds)
+    return traj2, EqualityConstraint.create(
+        name, times, values, label=f"fixed variable {name}"
+    )
+
+
+def fix_global_variable(traj, name: str, values):
+    """Pin a global variable (analog of ``fix_global_variable!``)."""
+    new_bounds = {k: v for k, v in traj.bounds.items() if k != name}
+    traj2 = traj.replace(bounds=new_bounds)
+    return traj2, GlobalEqualityConstraint.create(
+        name, values, label=f"fixed global variable {name}"
+    )
 
 
 @module

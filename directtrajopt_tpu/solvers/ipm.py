@@ -230,16 +230,39 @@ def ipm_solve(
         )
         stop_now = conv_now | (acc_count >= options.acceptable_iter)
 
-        # ---- monotone barrier update (+ filter reset, Ipopt A-5.4) ------- #
-        mu_update = e_mu <= opt.kappa_epsilon * st.mu
-        mu = jnp.where(
-            mu_update,
-            jnp.maximum(
-                opt.tol / 10.0,
-                jnp.minimum(opt.kappa_mu * st.mu, st.mu**opt.theta_mu),
-            ),
-            st.mu,
-        )
+        # ---- barrier update (+ filter reset, Ipopt A-5.4) ----------------- #
+        if options.mu_strategy == "adaptive":
+            # LOQO-style centrality rule: μ = σ·(avg complementarity), with σ
+            # driven by how uncentered the complementarity pairs are
+            comp_terms = jnp.concatenate(
+                [
+                    jnp.where(mask_L, dL * zL, jnp.nan),
+                    jnp.where(mask_U, dU * zU, jnp.nan),
+                    s * nu,
+                ]
+            )
+            m_cnt = jnp.sum(~jnp.isnan(comp_terms))
+            avg_c = jnp.nansum(comp_terms) / jnp.maximum(m_cnt, 1)
+            min_c = jnp.nanmin(
+                jnp.where(jnp.isnan(comp_terms), jnp.inf, comp_terms)
+            )
+            has_comp = m_cnt > 0
+            xi = jnp.where(has_comp, min_c / jnp.maximum(avg_c, 1e-30), 1.0)
+            sigma = 0.1 * jnp.minimum(0.05 * (1.0 - xi) / jnp.maximum(xi, 1e-6), 2.0) ** 3
+            mu_target = jnp.clip(sigma * avg_c, opt.tol / 10.0, opt.mu_init)
+            mu = jnp.where(has_comp, mu_target, jnp.maximum(opt.tol / 10.0, 0.2 * st.mu))
+            # reset the filter only on large barrier drops
+            mu_update = mu <= 0.1 * st.mu
+        else:
+            mu_update = e_mu <= opt.kappa_epsilon * st.mu
+            mu = jnp.where(
+                mu_update,
+                jnp.maximum(
+                    opt.tol / 10.0,
+                    jnp.minimum(opt.kappa_mu * st.mu, st.mu**opt.theta_mu),
+                ),
+                st.mu,
+            )
         filter_th = jnp.where(mu_update, jnp.inf, st.filter_th)
         filter_ph = jnp.where(mu_update, jnp.inf, st.filter_ph)
         filter_n = jnp.where(mu_update, 0, st.filter_n)

@@ -26,6 +26,10 @@ class IPMOptions:
     acceptable_tol: float = 1e-6
     acceptable_iter: int = static_field(default=15)
     # -- barrier ----------------------------------------------------------- #
+    # "monotone" = Fiacco–McCormick with κ_ε inner loop (Ipopt default);
+    # "adaptive" = LOQO-style centrality rule from the average complementarity
+    # (typically ~2× fewer iterations on well-behaved problems)
+    mu_strategy: str = static_field(default="monotone")
     mu_init: float = 1e-1
     mu_min: float = 1e-12
     kappa_mu: float = 0.2  # linear μ decrease factor

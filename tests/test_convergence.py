@@ -1,0 +1,44 @@
+"""X-gate convergence suite — the analog of the reference's
+`benchmark/convergence/convergence.jl`: drive the 4D Pauli state from
+|0⟩ = [1,0,0,0] to the X-gate target [0,1,0,0] with an infidelity objective
+and verify infidelity ≤ 1e-3 at primal feasibility ≤ 1e-6."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import directtrajopt_tpu as dtx
+from directtrajopt_tpu.benchmarks import make_bilinear_problem, pauli_generators
+
+
+def test_xgate_convergence():
+    prob = make_bilinear_problem(N=51, seed=42, feasible_start=True)
+    traj = prob.trajectory
+    goal = jnp.asarray([0.0, 1.0, 0.0, 0.0])
+
+    # infidelity objective: 1 − ⟨goal, x_N⟩² (states stay normalized under
+    # the bilinear flow since the generators are skew-symmetric)
+    infid = dtx.TerminalObjective(
+        lambda x: 1.0 - jnp.dot(goal, x) ** 2, "x", traj, Q=100.0
+    )
+    prob = prob.replace(objective=prob.objective + infid)
+
+    res = dtx.solve(prob, max_iter=500, tol=1e-7)
+    assert bool(res.converged), f"status={int(res.status)} kkt={float(res.kkt_error)}"
+
+    tr = res.problem.trajectory
+    xN = np.asarray(tr.data["x"][-1])
+    infidelity = 1.0 - float(np.dot(np.asarray(goal), xN)) ** 2
+    assert infidelity <= 1e-3, f"infidelity {infidelity}"
+
+    # primal feasibility of the dynamics at the solution
+    from directtrajopt_tpu.integrators import evaluate
+
+    viol = max(
+        float(np.max(np.abs(np.asarray(evaluate(integ, tr)))))
+        for integ in prob.integrators
+    )
+    assert viol <= 1e-6, f"dynamics violation {viol}"
+
+    # rolled-out fidelity agrees (collocation solution is dynamically exact)
+    fid = float(dtx.rollout_fidelity(prob.integrators[0], tr, goal))
+    assert fid >= 0.999
