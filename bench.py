@@ -5,10 +5,14 @@ Runs the reference's standard bilinear quantum-gate benchmark problem
 bounded drives, u→du→ddu chain, free timestep) as a vmapped scenario batch
 on one chip and reports throughput.
 
+Scheduling: a lockstep batch pays max-iterations for every lane, so the
+solve runs in two phases — a capped first pass over the full batch, then a
+compacted continuation batch of the unconverged stragglers, warm-started
+from their current iterates (the trajectory is the checkpoint).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares against the reference's published single-solve Ipopt
 wall time of 0.616 s (= 1.62 solves/s; `docs/src/benchmarks.md:62-66`).
-
 Extra diagnostics go to stderr.
 """
 
@@ -19,10 +23,17 @@ import time
 import numpy as np
 
 
+def take_batch(tree, idx):
+    import jax
+
+    idx = np.asarray(idx)
+    return jax.tree.map(lambda x: x[idx], tree)
+
+
 def main():
     import jax
 
-    import directtrajopt_tpu as dtx
+    import directtrajopt_tpu as dtx  # noqa: F401
     from directtrajopt_tpu.benchmarks import make_batched_bilinear_problems
     from directtrajopt_tpu.solvers.solve import solve_batch
 
@@ -34,41 +45,56 @@ def main():
 
     N = 51
     BATCH = 256 if on_tpu else 8
-    MAX_ITER = 120  # straggler cap: lockstep batch pays max-iters for all lanes
+    CONT = max(BATCH // 4, 1)  # continuation chunk size
+    PH1, PH2 = 64, 200  # phase iteration caps
 
     batch = make_batched_bilinear_problems(BATCH, N=N, feasible_start=True)
 
     kwargs = dict(
-        max_iter=MAX_ITER,
         tol=1e-5 if on_tpu else 1e-8,
         acceptable_tol=5e-4 if on_tpu else 1e-6,
         acceptable_iter=5,
     )
 
-    # compile + warm up
+    # warm up / compile both phases
     t0 = time.time()
-    res = solve_batch(batch, **kwargs)
-    res.kkt_error.block_until_ready()
+    res = solve_batch(batch, max_iter=PH1, **kwargs)
+    conv = np.asarray(res.converged)
+    bad = np.nonzero(~conv)[0]
+    if len(bad):
+        pad = (-len(bad)) % CONT
+        idx = np.concatenate([bad, np.repeat(bad[:1], pad)]) if pad else bad
+        chunk = take_batch(res.problem, idx[:CONT])
+        solve_batch(chunk, max_iter=PH2, **kwargs).kkt_error.block_until_ready()
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
     # timed runs
-    times = []
+    times, convs = [], []
     for _ in range(3):
         t0 = time.time()
-        res = solve_batch(batch, **kwargs)
+        res = solve_batch(batch, max_iter=PH1, **kwargs)
+        conv = np.asarray(res.converged)
+        done = set(np.nonzero(conv)[0].tolist())
+        bad = np.nonzero(~conv)[0]
+        if len(bad):
+            pad = (-len(bad)) % CONT
+            idx = np.concatenate([bad, np.repeat(bad[:1], pad)]) if pad else bad
+            for c0 in range(0, len(idx), CONT):
+                chunk_idx = idx[c0 : c0 + CONT]
+                chunk = take_batch(res.problem, chunk_idx)
+                res2 = solve_batch(chunk, max_iter=PH2, **kwargs)
+                conv2 = np.asarray(res2.converged)
+                done |= {int(g) for j, g in enumerate(chunk_idx) if conv2[j]}
         res.kkt_error.block_until_ready()
         times.append(time.time() - t0)
+        convs.append(len(done))
     wall = float(np.median(times))
+    n_conv = int(np.median(convs))
 
-    conv = np.asarray(res.converged)
-    iters = np.asarray(res.iterations)
-    kkt = np.asarray(res.kkt_error)
-    n_conv = int(conv.sum())
     solves_per_s = n_conv / wall
     print(
         f"batch={BATCH} wall={wall:.3f}s converged={n_conv}/{BATCH} "
-        f"iters: med={np.median(iters):.0f} max={iters.max()} "
-        f"kkt: med={np.median(kkt):.2e} max={kkt.max():.2e}",
+        f"(phase1 {int(np.asarray(res.converged).sum())})",
         file=sys.stderr,
     )
 
