@@ -276,3 +276,41 @@ def test_warm_start_resolve():
     res2 = dtx.solve(res1.problem, max_iter=200)
     assert bool(res2.converged)
     assert int(res2.iterations) <= max(3, int(res1.iterations) // 2)
+
+
+def test_batch_heterogeneous_dynamics():
+    """Scenario batch where each instance carries different dynamics matrices
+    (G is a pytree leaf) — the core promise of problems-as-pytrees."""
+    probs = []
+    for i, scale in enumerate([0.8, 1.0, 1.25]):
+        rng = np.random.default_rng(i)
+        integ = dtx.BilinearIntegrator.create(
+            (scale * G_DRIFT, [G_DRIVE]), "x", "u", None
+        )
+        u = 0.25 * np.sin(np.linspace(0, 5, 14))[:, None]
+        xs = dtx.bilinear_rollout(integ, jnp.array([1.0, 0.0]), jnp.asarray(u), 0.15)
+        traj = dtx.Trajectory.create(
+            {"x": np.asarray(xs) + 0.02 * rng.normal(size=(14, 2)), "u": u},
+            timestep=0.15,
+            controls="u",
+            initial={"x": [1.0, 0.0]},
+            final={"x": np.asarray(xs[-1])},
+        )
+        probs.append(
+            dtx.DirectTrajOptProblem.create(
+                traj, dtx.QuadraticRegularizer.create("u", traj, 1.0), integ
+            )
+        )
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
+    # the dynamics matrices really are batched leaves
+    assert batch.integrators[0].G_drift.shape == (3, 2, 2)
+    res = dtx.solve_batch(batch, max_iter=200)
+    assert bool(jnp.all(res.converged))
+    # each instance satisfies ITS OWN dynamics at the solution
+    for i in range(3):
+        prob_i = jax.tree.map(lambda x: x[i], batch)
+        tr_i = jax.tree.map(lambda x: x[i], res.problem.trajectory)
+        from directtrajopt_tpu.integrators import evaluate
+
+        dyn = np.asarray(evaluate(prob_i.integrators[0], tr_i))
+        assert np.max(np.abs(dyn)) < 1e-6
