@@ -231,7 +231,13 @@ def ipm_solve(
         stop_now = conv_now | (acc_count >= options.acceptable_iter)
 
         # ---- barrier update (+ filter reset, Ipopt A-5.4) ----------------- #
-        if options.mu_strategy == "adaptive":
+        if options.mu_strategy == "mehrotra":
+            # μ is chosen after the affine-scaling probe below; keep the
+            # current value for now and reset the filter on large drops later
+            mu = st.mu
+            mu_update = jnp.asarray(False)
+            filter_th, filter_ph, filter_n = st.filter_th, st.filter_ph, st.filter_n
+        elif options.mu_strategy == "adaptive":
             # LOQO-style centrality rule: μ = σ·(avg complementarity), with σ
             # driven by how uncentered the complementarity pairs are
             comp_terms = jnp.concatenate(
@@ -263,9 +269,10 @@ def ipm_solve(
                 ),
                 st.mu,
             )
-        filter_th = jnp.where(mu_update, jnp.inf, st.filter_th)
-        filter_ph = jnp.where(mu_update, jnp.inf, st.filter_ph)
-        filter_n = jnp.where(mu_update, 0, st.filter_n)
+        if options.mu_strategy != "mehrotra":
+            filter_th = jnp.where(mu_update, jnp.inf, st.filter_th)
+            filter_ph = jnp.where(mu_update, jnp.inf, st.filter_ph)
+            filter_n = jnp.where(mu_update, 0, st.filter_n)
 
         # ---- condensed system ------------------------------------------- #
         SigL = jnp.where(mask_L, zL / dL, 0.0)
@@ -273,14 +280,89 @@ def ipm_solve(
         Sig = (SigL + SigU) * free
         D = nu / s if n_in else jnp.zeros((0,), dtype=dtype)
 
-        g_hat = gf - jnp.where(mask_L, mu / dL, 0.0) + jnp.where(mask_U, mu / dU, 0.0)
-        if n_in:
-            g_hat = g_hat + ctx.JiT(mu / s + D * (c_i + s))
-        g_hat = free * g_hat
+        if options.mu_strategy == "mehrotra":
+            # ---- affine-scaling probe (Mehrotra): factor once, solve the
+            # μ=0 system, measure the complementarity it would reach, and
+            # pick μ = σ·(avg comp) with σ = (μ_aff/μ_avg)³ ---------------- #
+            g_aff = gf
+            if n_in:
+                g_aff = g_aff + ctx.JiT(D * (c_i + s))
+            g_aff = free * g_aff
+            dZ_a, _, ok, delta_fin, resolve = ctx.kkt_step(
+                Sig, D, g_aff, -c_e, st.delta_w_last, opt
+            )
+            if n_in:
+                ds_a = -(c_i + s) - ctx.Ji(dZ_a)
+                dnu_a = -nu - D * ds_a
+            else:
+                ds_a = jnp.zeros((0,), dtype=dtype)
+                dnu_a = jnp.zeros((0,), dtype=dtype)
+            dzL_a = jnp.where(mask_L, -zL - SigL * dZ_a, 0.0)
+            dzU_a = jnp.where(mask_U, -zU + SigU * dZ_a, 0.0)
+            tau_a = jnp.asarray(0.995, dtype=dtype)
+            ap = jnp.minimum(
+                _masked_min(-tau_a * dL / jnp.minimum(dZ_a, -1e-30), mask_L & (dZ_a < 0), 1.0),
+                _masked_min(tau_a * dU / jnp.maximum(dZ_a, 1e-30), mask_U & (dZ_a > 0), 1.0),
+            )
+            ad = jnp.minimum(
+                _masked_min(-tau_a * zL / jnp.minimum(dzL_a, -1e-30), mask_L & (dzL_a < 0), 1.0),
+                _masked_min(-tau_a * zU / jnp.minimum(dzU_a, -1e-30), mask_U & (dzU_a < 0), 1.0),
+            )
+            if n_in:
+                ap = jnp.minimum(
+                    ap, _masked_min(-tau_a * s / jnp.minimum(ds_a, -1e-30), ds_a < 0, 1.0)
+                )
+                ad = jnp.minimum(
+                    ad, _masked_min(-tau_a * nu / jnp.minimum(dnu_a, -1e-30), dnu_a < 0, 1.0)
+                )
+            comp_now = (
+                jnp.sum(jnp.where(mask_L, dL * zL, 0.0))
+                + jnp.sum(jnp.where(mask_U, dU * zU, 0.0))
+                + jnp.sum(s * nu)
+            )
+            comp_aff = (
+                jnp.sum(
+                    jnp.where(mask_L, (dL + ap * dZ_a) * (zL + ad * dzL_a), 0.0)
+                )
+                + jnp.sum(
+                    jnp.where(mask_U, (dU - ap * dZ_a) * (zU + ad * dzU_a), 0.0)
+                )
+                + jnp.sum((s + ap * ds_a) * (nu + ad * dnu_a))
+            )
+            m_cnt = (
+                jnp.sum(jnp.where(mask_L, 1.0, 0.0))
+                + jnp.sum(jnp.where(mask_U, 1.0, 0.0))
+                + n_in
+            )
+            mu_avg = comp_now / jnp.maximum(m_cnt, 1.0)
+            mu_aff = comp_aff / jnp.maximum(m_cnt, 1.0)
+            sigma = jnp.clip((mu_aff / jnp.maximum(mu_avg, 1e-30)) ** 3, 1e-4, 10.0)
+            mu_new = jnp.clip(sigma * mu_avg, opt.tol / 10.0, opt.mu_init)
+            mu = jnp.where(m_cnt > 0, mu_new, jnp.maximum(opt.tol / 10.0, 0.2 * mu))
+            # filter reset on large barrier drops
+            mu_update = mu <= 0.1 * st.mu
+            filter_th = jnp.where(mu_update, jnp.inf, filter_th)
+            filter_ph = jnp.where(mu_update, jnp.inf, filter_ph)
+            filter_n = jnp.where(mu_update, 0, filter_n)
 
-        dZ, lam_plus, ok, delta_fin, resolve = ctx.kkt_step(
-            Sig, D, g_hat, -c_e, st.delta_w_last, opt
-        )
+            g_hat = (
+                gf
+                - jnp.where(mask_L, mu / dL, 0.0)
+                + jnp.where(mask_U, mu / dU, 0.0)
+            )
+            if n_in:
+                g_hat = g_hat + ctx.JiT(mu / s + D * (c_i + s))
+            g_hat = free * g_hat
+            dZ, lam_plus = resolve(-g_hat, -c_e)
+        else:
+            g_hat = gf - jnp.where(mask_L, mu / dL, 0.0) + jnp.where(mask_U, mu / dU, 0.0)
+            if n_in:
+                g_hat = g_hat + ctx.JiT(mu / s + D * (c_i + s))
+            g_hat = free * g_hat
+
+            dZ, lam_plus, ok, delta_fin, resolve = ctx.kkt_step(
+                Sig, D, g_hat, -c_e, st.delta_w_last, opt
+            )
 
         # ---- recover eliminated directions ------------------------------- #
         if n_in:

@@ -26,9 +26,12 @@ class IPMOptions:
     acceptable_tol: float = 1e-6
     acceptable_iter: int = static_field(default=15)
     # -- barrier ----------------------------------------------------------- #
-    # "monotone" = Fiacco–McCormick with κ_ε inner loop (Ipopt default);
-    # "adaptive" = LOQO-style centrality rule from the average complementarity
-    # (typically ~2× fewer iterations on well-behaved problems)
+    # "monotone" = Fiacco–McCormick with κ_ε inner loop (Ipopt default and
+    # ours: measured best on the nonconvex bilinear benchmarks);
+    # "adaptive" = LOQO centrality rule; "mehrotra" = affine-scaling probe
+    # (one extra resolve per iteration). Both adaptive modes are experimental
+    # — on the nonconvex benchmark suite they run MORE iterations than
+    # monotone (filter globalization fights the oscillating barrier).
     mu_strategy: str = static_field(default="monotone")
     mu_init: float = 1e-1
     mu_min: float = 1e-12
