@@ -66,6 +66,9 @@ class IPMState(NamedTuple):
     stopped: jax.Array  # user callback requested stop
     err: jax.Array  # overall KKT error at μ=0
     obj: jax.Array
+    best_kkt: jax.Array  # lowest μ=0 KKT error seen along the run
+    best_kkt_Z: jax.Array  # the iterate that achieved it
+    best_kkt_obj: jax.Array
     history_Z: jax.Array  # (K, z_dim) iterate ring buffer (K may be 0)
     hist_n: jax.Array
     best_score: jax.Array
@@ -101,6 +104,20 @@ def ipm_solve(
     ``callbacks``: an optional :class:`IPMCallbacks` with host monitoring,
     device stop conditions, iterate history, and best-snapshot tracking.
     """
+    # TPU XLA lowers f32 matmuls to bf16 MXU passes by default (~2⁻⁸ relative
+    # error), which poisons the KKT factorization — the measured effect is a
+    # 5e-3 relative error per factor/solve and a 1e-4-grade KKT floor. Every
+    # matmul traced under this solver must run at full f32 precision; the
+    # extra MXU passes are noise next to the sweep's loop overhead.
+    # (DTX_MATMUL_PRECISION overrides, for experiments.)
+    import os
+
+    prec = os.environ.get("DTX_MATMUL_PRECISION", "highest")
+    with jax.default_matmul_precision(prec):
+        return _ipm_solve_inner(nlp, Z0, options, ops, callbacks)
+
+
+def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
     cb = callbacks
     hist_k = cb.history_size if cb else 0
     if ops is None:
@@ -163,6 +180,9 @@ def ipm_solve(
         stopped=jnp.asarray(False),
         err=jnp.asarray(_BIG, dtype=dtype),
         obj=nlp.objective(Z_init),
+        best_kkt=jnp.asarray(_BIG, dtype=dtype),
+        best_kkt_Z=Z_init,
+        best_kkt_obj=nlp.objective(Z_init),
         history_Z=jnp.zeros((hist_k, z_dim), dtype=dtype),
         hist_n=jnp.zeros((), dtype=jnp.int32),
         best_score=jnp.asarray(-jnp.inf, dtype=dtype),
@@ -229,6 +249,16 @@ def ipm_solve(
             e_0 <= opt.acceptable_tol, st.acc_count + 1, jnp.zeros((), jnp.int32)
         )
         stop_now = conv_now | (acc_count >= options.acceptable_iter)
+
+        # best-iterate retention: on degenerate problems the iterate can slide
+        # along a near-flat valley, transiently touching the acceptable band
+        # and bouncing away again (filter accepts θ growth while φ creeps
+        # down). Keeping the argmin-KKT iterate makes any such dip a usable
+        # certificate — the result reports this iterate, not the last one.
+        improved = e_0 < st.best_kkt
+        best_kkt = jnp.where(improved, e_0, st.best_kkt)
+        best_kkt_Z = jnp.where(improved, Z, st.best_kkt_Z)
+        best_kkt_obj = jnp.where(improved, st.obj, st.best_kkt_obj)
 
         # ---- barrier update (+ filter reset, Ipopt A-5.4) ----------------- #
         if options.mu_strategy == "mehrotra":
@@ -596,6 +626,9 @@ def ipm_solve(
             stopped=st.stopped | user_stop,
             err=e_0,
             obj=obj_new,
+            best_kkt=best_kkt,
+            best_kkt_Z=best_kkt_Z,
+            best_kkt_obj=best_kkt_obj,
             history_Z=history_Z,
             hist_n=hist_n,
             best_score=best_score,
@@ -611,23 +644,21 @@ def ipm_solve(
         )
 
     final = jax.lax.while_loop(cond, body, state0)
+    # report the best-KKT iterate (the last body pass records the final Z in
+    # the best tracker, so best_kkt ≤ err always)
+    opt_hit = final.best_kkt <= opt.tol
+    acc_hit = final.best_kkt <= opt.acceptable_tol
     status = jnp.where(
-        final.converged,
-        0,
-        jnp.where(
-            final.acc_count >= options.acceptable_iter,
-            1,
-            jnp.where(final.stopped, 3, 2),
-        ),
+        opt_hit, 0, jnp.where(acc_hit, 1, jnp.where(final.stopped, 3, 2))
     )
     return IPMResult(
-        Z=final.Z,
+        Z=final.best_kkt_Z,
         state=final,
         iterations=final.iter,
-        converged=final.converged | (final.acc_count >= options.acceptable_iter),
+        converged=opt_hit | acc_hit,
         status=status,
-        kkt_error=final.err,
-        objective=final.obj,
+        kkt_error=final.best_kkt,
+        objective=final.best_kkt_obj,
         history_Z=final.history_Z,
         best_Z=final.best_Z,
         best_score=final.best_score,

@@ -196,10 +196,12 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
 
 
 class _RiccatiCtx:
-    def __init__(self, nlp: CanonicalNLP, S: OCPStructure, Z, lam, nu):
+    def __init__(self, nlp: CanonicalNLP, S: OCPStructure, Z, lam, nu,
+                 pallas_mode: str = "auto"):
         self.nlp = nlp
         self.S = S
         self.Z = Z
+        self.pallas_mode = pallas_mode
         layout = nlp.layout
         N, d = S.N, S.d
         dtype = Z.dtype
@@ -457,114 +459,90 @@ class _RiccatiCtx:
         Qsv = Q[:, s_ix[:, None], v_ix[None, :]]
         Qvv = Q[:, v_ix[:, None], v_ix[None, :]]
 
-        # ---- factorization (backward Riccati) with δw retry --------------- #
         eye_v = jnp.eye(n_v, dtype=dtype)
         eye_s = jnp.eye(n_s, dtype=dtype)
-
-        def factor(delta_w):
-            dQss = Qss + delta_w * f_blk[:, s_ix][:, :, None] * eye_s[None]
-            dQvv = Qvv + delta_w * f_blk[:, v_ix][:, :, None] * eye_v[None]
-
-            def stage(carry, inp):
-                P_next, ok = carry
-                qss, qsv, qvv, Ab, Bb = inp
-                PB = P_next @ Bb  # (n_s, n_v)
-                PA = P_next @ Ab
-                Hvv = qvv + Bb.T @ PB
-                Lv = jnp.linalg.cholesky(Hvv)
-                okv = jnp.all(jnp.isfinite(Lv))
-                Lv = jnp.where(jnp.isfinite(Lv), Lv, eye_v)
-                Mvs = qsv.T + Bb.T @ PA  # (n_v, n_s)
-                Kg = -jax.scipy.linalg.cho_solve((Lv, True), Mvs)
-                P = qss + Ab.T @ PA + Mvs.T @ Kg
-                P = 0.5 * (P + P.T)
-                return (P, ok & okv), (P, Lv, Kg, Mvs)
-
-            (_, ok), (P_all, Lv_all, Kg_all, Mvs_all) = jax.lax.scan(
-                stage,
-                (jnp.zeros((n_s, n_s), dtype), jnp.asarray(True)),
-                (dQss, Qsv, dQvv, Abar_p, Bbar_p),
-                reverse=True,
-            )
-            # initial-state solve (masked): P0 on free s_0 comps must be PD
-            P0 = P_all[0]
-            P0m = P0 * s0m[:, None] * s0m[None, :] + jnp.diag(1.0 - s0m)
-            L0 = jnp.linalg.cholesky(P0m)
-            ok = ok & jnp.all(jnp.isfinite(L0))
-            L0 = jnp.where(jnp.isfinite(L0), L0, eye_s)
-            return (P_all, Lv_all, Kg_all, Mvs_all, L0, ok)
-
-        delta, P_all, Lv_all, Kg_all, Mvs_all, L0, ok = _reg_retry(
-            factor, delta_last, opt, dtype
-        )
-
-        # shifted P for stage use: P_next[k] = P_all[k+1] (zeros at last)
-        P_next_all = jnp.concatenate(
-            [P_all[1:], jnp.zeros((1, n_s, n_s), dtype)], axis=0
-        )
-
-        def core_solve_multi(q_blk, b):
-            """Solve the core equality-QP KKT for R stacked right-hand sides.
-
-            q_blk: (R, N, d) cost-linear terms; b: (R, N-1, n_s) dynamics rhs.
-            Returns (δz (R, N, d), λ_stack (R, N-1, n_s)). One backward and one
-            forward sweep total — the factorization (P, Lvv, gains) is shared,
-            so solving the main step and all border columns costs the same
-            sequential depth as one solve.
-            """
-            R = q_blk.shape[0]
-            qs = jnp.moveaxis(q_blk[:, :, s_ix], 0, 1)  # (N, R, n_s)
-            qv = jnp.moveaxis(q_blk[:, :, v_ix], 0, 1)  # (N, R, n_v)
-            b_p = b * cm[None]
-            b_pad_ = jnp.concatenate(
-                [jnp.moveaxis(b_p, 0, 1), jnp.zeros((1, R, n_s), dtype)], axis=0
-            )  # (N, R, n_s)
-
-            def bwd(p_next, inp):
-                qs_k, qv_k, Ab, Bb, bk, P_next, Lv, Mvs = inp
-                w = bk @ P_next.T + p_next  # (R, n_s)
-                mv = qv_k + w @ Bb  # (R, n_v)
-                kff = -jax.scipy.linalg.cho_solve((Lv, True), mv.T).T
-                p = qs_k + w @ Ab + kff @ Mvs
-                return p, (kff, p)
-
-            p0, (kff_all, p_all) = jax.lax.scan(
-                bwd,
-                jnp.zeros((R, n_s), dtype),
-                (qs, qv, Abar_p, Bbar_p, b_pad_, P_next_all, Lv_all, Mvs_all),
-                reverse=True,
-            )
-
-            ds0 = -jax.scipy.linalg.cho_solve((L0, True), (p0 * s0m[None]).T).T * s0m[None]
-
-            def fwd(s_k, inp):
-                Kg, kff, Ab, Bb, bk = inp
-                v_k = s_k @ Kg.T + kff
-                s_next = s_k @ Ab.T + v_k @ Bb.T + bk
-                return s_next, (s_k, v_k)
-
-            _, (s_all, v_all) = jax.lax.scan(
-                fwd, ds0, (Kg_all, kff_all, Abar_p, Bbar_p, b_pad_)
-            )  # (N, R, ·)
-            dz = jnp.zeros((N, R, d), dtype=dtype)
-            dz = dz.at[:, :, s_ix].set(s_all)
-            dz = dz.at[:, :, v_ix].set(v_all)
-            dz = jnp.moveaxis(dz, 0, 1)  # (R, N, d)
-
-            # dynamics multipliers: λ_k = −(P_{k+1} δs_{k+1} + p_{k+1})
-            lam_stack = -(
-                jnp.einsum("kij,krj->rki", P_all[1:], s_all[1:]) + jnp.moveaxis(p_all[1:], 1, 0)
-            )
-            return dz, lam_stack * cm[None]
+        fS = f_blk[:, s_ix][:, :, None] * eye_s[None]  # (N, n_s, n_s) diag
+        fV = f_blk[:, v_ix][:, :, None] * eye_v[None]
 
         m_c = C.shape[0]
+        R_all = m_c + 1  # border columns + the main right-hand side
 
-        # border columns + Schur factor, computed once per factorization and
-        # shared by the main solve and any resolve (SOC) calls
-        if m_c:
-            Xz, Xlam = core_solve_multi(
-                -C, jnp.zeros((m_c, N - 1, n_s), dtype)
+        def _rho_adjust(rhs_z_blk, rhs_c_flat):
+            """Augmented-Lagrangian rhs shift matching the ρ·cᵀc in Q."""
+            if lv is not None and len(loc_flat):
+                r_loc = rhs_c_flat[jnp.asarray(loc_flat)]
+                adj = jnp.zeros((N, d), dtype=dtype).at[loc_knots].add(
+                    rho * lv * r_loc[:, None]
+                )
+                rhs_z_blk = rhs_z_blk + adj
+            return rhs_z_blk
+
+        def _b_dyn_pad(rhs_c_flat):
+            b_dyn = rhs_c_flat[
+                jnp.asarray(S.dyn_flat_of_stack.reshape(-1))
+            ].reshape(N - 1, n_s) * cm
+            return jnp.concatenate([b_dyn, jnp.zeros((1, n_s), dtype)], axis=0)
+
+        # RHS stack: m_c border columns (−C, zero dynamics rhs) + the main
+        # system (−(−g_hat + ρ-shift), dynamics rhs). One fused backward/
+        # forward sweep solves them all against one factorization.
+        rhs_main = _rho_adjust((-g_hat).reshape(N, d), rhs_c)
+        q_all = jnp.concatenate([-C, -rhs_main[None]], axis=0)  # (R, N, d)
+        b_all = jnp.concatenate(
+            [
+                jnp.zeros((m_c, N, n_s), dtype),
+                _b_dyn_pad(rhs_c)[None],
+            ],
+            axis=0,
+        )
+        qs_all = q_all[:, :, s_ix]
+        qv_all = q_all[:, :, v_ix]
+
+        # ---- fused factorization + multi-RHS solve with δw retry ---------- #
+        from ..ops.riccati_kernel import make_factor_solve, make_resolve
+
+        s0_key = tuple(int(v) for v in S.s0_mask)
+        FS = make_factor_solve(s0_key, self.pallas_mode)
+        RS = make_resolve(s0_key, self.pallas_mode)
+
+        def factor(delta_w):
+            P, Lv, Kg, Mvs, L0, okf, dzs, dzv, lamS = FS(
+                Qss + delta_w * fS,
+                Qsv,
+                Qvv + delta_w * fV,
+                Abar_p,
+                Bbar_p,
+                qs_all,
+                qv_all,
+                b_all,
             )
+            return (P, Lv, Kg, Mvs, L0, dzs, dzv, lamS, okf)
+
+        (
+            delta,
+            P_all,
+            Lv_all,
+            Kg_all,
+            Mvs_all,
+            L0,
+            dzs,
+            dzv,
+            lamS,
+            ok,
+        ) = _reg_retry(factor, delta_last, opt, dtype)
+
+        lamS = lamS * cm[None]
+        dz_all = (
+            jnp.zeros((R_all, N, d), dtype)
+            .at[:, :, s_ix]
+            .set(dzs)
+            .at[:, :, v_ix]
+            .set(dzv)
+        )
+
+        # border columns + Schur factor, shared by main solve and SOC resolve
+        if m_c:
+            Xz, Xlam = dz_all[:m_c], lamS[:m_c]
             Smat = jnp.einsum("jnd,knd->jk", C, Xz) + opt.delta_c * jnp.eye(
                 m_c, dtype=dtype
             )
@@ -575,23 +553,10 @@ class _RiccatiCtx:
             Xz = Xlam = Ls = None
             ok_s_factor = jnp.asarray(True)
 
-        def full_solve(rhs_z_blk, rhs_c_flat):
-            """Solve core + border for one rhs. rhs_z_blk: (N,d)."""
-            # augmented-Lagrangian rhs shift matching the ρ·cᵀc in Q
-            if lv is not None and len(loc_flat):
-                r_loc = rhs_c_flat[jnp.asarray(loc_flat)]
-                adj = jnp.zeros((N, d), dtype=dtype).at[loc_knots].add(
-                    rho * lv * r_loc[:, None]
-                )
-                rhs_z_blk = rhs_z_blk + adj
-            b_dyn = rhs_c_flat[jnp.asarray(S.dyn_flat_of_stack.reshape(-1))].reshape(
-                N - 1, n_s
-            )
-            dz0, lam0 = core_solve_multi(-rhs_z_blk[None], b_dyn[None])
-            dz0, lam0 = dz0[0], lam0[0]
+        def _combine(dz0, lam0, rhs_c_flat):
+            """Schur-combine a core solution with the border columns."""
             if m_c == 0:
                 return dz0, lam0, jnp.zeros((0,), dtype), jnp.asarray(True)
-
             rcc_j = _border_rhs(rhs_c_flat)
             resid = jnp.einsum("jnd,nd->j", C, dz0) - rcc_j
             lam_c = jax.scipy.linalg.cho_solve((Ls, True), resid)
@@ -611,6 +576,32 @@ class _RiccatiCtx:
             r_b = jnp.einsum("jnd,nd->j", C, dz) - rcc_j
             lam_c = lam_c + rho * loc_border_mask * r_b
             return dz, lam_stack, lam_c, ok_s_factor
+
+        def full_solve_extra(rhs_z_blk, rhs_c_flat):
+            """Solve core + border for a NEW rhs, reusing the factorization."""
+            rhs_z_blk = _rho_adjust(rhs_z_blk, rhs_c_flat)
+            q1 = -rhs_z_blk[None]
+            dzs1, dzv1, lam1 = RS(
+                P_all,
+                Lv_all,
+                Kg_all,
+                Mvs_all,
+                L0,
+                Abar_p,
+                Bbar_p,
+                q1[:, :, s_ix],
+                q1[:, :, v_ix],
+                _b_dyn_pad(rhs_c_flat)[None],
+            )
+            lam0 = lam1[0] * cm
+            dz0 = (
+                jnp.zeros((N, d), dtype)
+                .at[:, s_ix]
+                .set(dzs1[0])
+                .at[:, v_ix]
+                .set(dzv1[0])
+            )
+            return _combine(dz0, lam0, rhs_c_flat)
 
         def _border_rhs(rhs_c_flat):
             parts = []
@@ -646,11 +637,13 @@ class _RiccatiCtx:
             return lam_flat
 
         def resolve(rhs_z, rhs_c_flat):
-            dz, lam_stack, lam_c, _ = full_solve(rhs_z.reshape(N, d), rhs_c_flat)
+            dz, lam_stack, lam_c, _ = full_solve_extra(
+                rhs_z.reshape(N, d), rhs_c_flat
+            )
             return dz.reshape(-1), pack_lam(lam_stack, lam_c)
 
-        # full_solve expects the KKT right-hand side rhs_z = −g_hat
-        dz, lam_stack, lam_c, ok_s = full_solve((-g_hat).reshape(N, d), rhs_c)
+        # the main solution came out of the fused sweep (last RHS slot)
+        dz, lam_stack, lam_c, ok_s = _combine(dz_all[m_c], lamS[m_c], rhs_c)
         dZ = dz.reshape(-1)
         lam_plus = pack_lam(lam_stack, lam_c)
         ok = ok & ok_s & jnp.all(jnp.isfinite(dZ)) & jnp.all(jnp.isfinite(lam_plus))
@@ -658,14 +651,19 @@ class _RiccatiCtx:
 
 
 class RiccatiOps:
-    """Operator backend using the block-structured Riccati KKT solve."""
+    """Operator backend using the block-structured Riccati KKT solve.
 
-    def __init__(self, nlp: CanonicalNLP):
+    ``pallas_mode``: "auto" (fused Pallas kernel on TPU when eligible,
+    fused XLA scans otherwise), "never" (always XLA scans), or "interpret"
+    (Pallas interpreter mode — for validation on CPU)."""
+
+    def __init__(self, nlp: CanonicalNLP, pallas_mode: str = "auto"):
         struct = analyze(nlp)
         if struct is None:
             raise ValueError("problem is not Riccati-eligible")
         self.nlp = nlp
         self.struct = struct
+        self.pallas_mode = pallas_mode
 
     def prepare(self, Z, lam, nu) -> _RiccatiCtx:
-        return _RiccatiCtx(self.nlp, self.struct, Z, lam, nu)
+        return _RiccatiCtx(self.nlp, self.struct, Z, lam, nu, self.pallas_mode)
