@@ -22,10 +22,16 @@ This backend exploits that:
   Riccati-factored core: m_c extra backward/forward sweeps sharing the same
   factorization, then an m_c × m_c dense Cholesky.
 
+* **global variables** (GlobalObjective / global-coupled or pure-global
+  equality constraints / global linear rows) are an **arrowhead** border:
+  n_g extra core solves against the Hzg cross-Hessian columns, then a
+  symmetric-indefinite 2×2 block Schur solve over (λ_border, δg) whose
+  global-block Cholesky is part of the δ_w inertia certificate.
+
 Cost per KKT solve: O(N·(n_s+n_v)³) sequential-in-k, fully parallel over the
 scenario batch — versus O((N·d)³) for the dense path. Eligibility is decided
-statically (`analyze`); ineligible problems (global variables, implicit
-integrators, cross-knot inequalities) fall back to the dense backend.
+statically (`analyze`); ineligible problems (implicit integrators, cross-knot
+or global-coupled inequalities) fall back to the dense backend with a warning.
 """
 
 from __future__ import annotations
@@ -59,6 +65,8 @@ class OCPStructure:
     bp_flat: np.ndarray  # (n_bp,) flat c_eq indices of those rows
     dyn_flat_of_stack: np.ndarray  # (N-1, n_s) flat c_eq index of each core-stack slot
     s0_mask: np.ndarray  # (n_s,) 1 where s_0 is free to optimize
+    n_g: int  # global-variable count (arrowhead border width)
+    g_free: np.ndarray  # (n_g,) 1 where the global coordinate is free
     # inequality row → (knot, slot) maps
     in_knot: np.ndarray  # (n_in,)
     in_slot: np.ndarray  # (n_in,)
@@ -74,8 +82,7 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
     """Check Riccati eligibility and build the static structure."""
     layout = nlp.layout
     N, d = layout.N, layout.dim
-    if layout.global_dim != 0:
-        return None
+    n_g = layout.global_dim
     if not nlp.integrators:
         return None
 
@@ -92,22 +99,32 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
     v_idx = np.asarray([i for i in range(d) if i not in set(s_list)], dtype=np.int64)
     n_s = len(s_idx)
 
-    # nonlinear constraints must be knot-local
-    for con in list(nlp.eq_cons) + list(nlp.in_cons):
+    # equality constraints: knot-local (optionally global-coupled) or pure
+    # global — both are handled (global coupling goes through the arrowhead
+    # border). Inequalities must be knot-local and global-free: their D-scaled
+    # Gram term is folded into the per-knot Q blocks, which global columns
+    # would break.
+    for con in nlp.eq_cons:
+        if not (hasattr(con, "knot_residual") or hasattr(con, "global_residual")):
+            return None
+    for con in nlp.in_cons:
         if not hasattr(con, "knot_residual") or getattr(con, "uses_global", False):
             return None
 
-    # every linear inequality row must touch exactly one knot
+    # every linear inequality row must touch exactly one knot, no global cols
     for rows, cols, _, _, n in nlp.in_entries:
+        if len(cols) and np.any(cols >= N * d):
+            return None
         knots = cols // d
         for r in range(n):
             kr = knots[rows == r]
             if len(kr) and not np.all(kr == kr[0]):
                 return None
 
-    free = np.ones(N * d)
+    free = np.ones(N * d + n_g)
     free[nlp.fix_idx] = 0.0
-    free_blk = free.reshape(N, d)
+    free_blk = free[: N * d].reshape(N, d)
+    g_free = free[N * d :].copy()
 
     # dynamics rows whose target coordinate is pinned go to the border
     target_flat = (np.arange(1, N)[:, None] * d) + s_idx[None, :]  # (N-1, n_s)
@@ -182,6 +199,8 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
         bp_flat=bp_flat,
         dyn_flat_of_stack=dyn_flat,
         s0_mask=s0_mask,
+        n_g=n_g,
+        g_free=g_free,
         in_knot=in_knot,
         in_slot=in_slot,
         m_in=m_in,
@@ -206,9 +225,10 @@ class _RiccatiCtx:
         N, d = S.N, S.d
         dtype = Z.dtype
         self.dtype = dtype
+        n_g = S.n_g
         zmat = Z[: N * d].reshape(N, d)
         self.zmat = zmat
-        gvec = jnp.zeros((0,), dtype=dtype)
+        gvec = Z[N * d :]
         self.gvec = gvec
 
         self.grad_f = jax.grad(nlp.objective)(Z)
@@ -221,8 +241,11 @@ class _RiccatiCtx:
             jr_parts.append(stack_jacobians_zk(integ, layout, zmat))
         self.Jr = jnp.concatenate(jr_parts, axis=1)
 
-        # nonlinear constraint Jacobian blocks (per con): (T, gd, d)
+        # nonlinear constraint Jacobian blocks (per con): (T, gd, d) for
+        # knot-local cons; pure-global cons get None here (g-Jacobian below)
         def nl_jac(con):
+            if not hasattr(con, "knot_residual"):
+                return None
             times = jnp.asarray(np.asarray(con.times))
             z_sel = zmat[times]
             idx = jnp.arange(len(con.times))
@@ -231,8 +254,29 @@ class _RiccatiCtx:
                 in_axes=(0, 0),
             )(z_sel, idx)
 
+        # global-column Jacobian blocks: (T, gd, n_g) for global-coupled
+        # knot cons, (gd, n_g) for pure-global cons, else None
+        def nl_jac_g(con):
+            if not n_g:
+                return None
+            if hasattr(con, "knot_residual"):
+                if not getattr(con, "uses_global", False):
+                    return None
+                times = jnp.asarray(np.asarray(con.times))
+                z_sel = zmat[times]
+                idx = jnp.arange(len(con.times))
+                return jax.vmap(
+                    jax.jacfwd(
+                        lambda z, g, i: con.knot_residual(layout, z, g, i),
+                        argnums=1,
+                    ),
+                    in_axes=(0, None, 0),
+                )(z_sel, gvec, idx)
+            return jax.jacfwd(lambda g: con.global_residual(layout, g))(gvec)
+
         self.nl_eq_jacs = [nl_jac(c) for c in nlp.eq_cons]
         self.nl_in_jacs = [nl_jac(c) for c in nlp.in_cons]
+        self.nl_eq_jacs_g = [nl_jac_g(c) for c in nlp.eq_cons]
 
         # Lagrangian Hessian blocks Q_W (N, d, d): objective + integrators +
         # nonlinear constraints (multipliers from lam / nu)
@@ -250,6 +294,8 @@ class _RiccatiCtx:
 
         def add_nl_hess(QW, cons, offsets, mults):
             for con, o in zip(cons, offsets):
+                if not hasattr(con, "knot_residual"):
+                    continue  # pure-global: its Hessian lives in Hgg below
                 times = np.asarray(con.times)
                 T, gd = len(times), con.g_dim
                 mu = mults[o : o + T * gd].reshape(T, gd)
@@ -267,6 +313,67 @@ class _RiccatiCtx:
         QW = add_nl_hess(QW, nlp.eq_cons, S.nl_eq_offsets, lam)
         QW = add_nl_hess(QW, nlp.in_cons, S.nl_in_offsets, nu)
         self.QW = QW
+
+        # ---- arrowhead Hessian blocks: ∂²L/∂z∂g and ∂²L/∂g² --------------- #
+        if n_g:
+            Hzg = jnp.zeros((N, d, n_g), dtype=dtype)
+            Hgg = jnp.zeros((n_g, n_g), dtype=dtype)
+            ks = jnp.arange(N)
+            if obj.uses_global:
+
+                def _cost(z, g, k):
+                    return obj.cost_at_knot(layout, z, g, k)
+
+                Hzg = Hzg + jax.vmap(
+                    jax.jacfwd(jax.grad(_cost, argnums=0), argnums=1),
+                    in_axes=(0, None, 0),
+                )(zmat, gvec, ks)
+                Hgg = Hgg + jnp.sum(
+                    jax.vmap(jax.hessian(_cost, argnums=1), in_axes=(0, None, 0))(
+                        zmat, gvec, ks
+                    ),
+                    axis=0,
+                )
+            Hgg = Hgg + jax.hessian(lambda g: obj.cost_global(layout, g))(gvec)
+            # equality-constraint Lagrangian cross terms (global-coupled knot
+            # cons + pure-global cons); inequalities are global-free here
+            for con, o, jg in zip(nlp.eq_cons, S.nl_eq_offsets, self.nl_eq_jacs_g):
+                if jg is None:
+                    continue
+                if hasattr(con, "knot_residual"):
+                    times = np.asarray(con.times)
+                    T, gd = len(times), con.g_dim
+                    mu = lam[o : o + T * gd].reshape(T, gd)
+                    idx = jnp.arange(T)
+
+                    def lagr(z, g, i, m):
+                        return jnp.dot(m, con.knot_residual(layout, z, g, i))
+
+                    cross = jax.vmap(
+                        lambda z, i, m: jax.jacfwd(
+                            jax.grad(lagr, argnums=0), argnums=1
+                        )(z, gvec, i, m)
+                    )(zmat[jnp.asarray(times)], idx, mu)
+                    Hzg = Hzg.at[jnp.asarray(times)].add(cross)
+                    Hgg = Hgg + jnp.sum(
+                        jax.vmap(
+                            lambda z, i, m: jax.hessian(lagr, argnums=1)(
+                                z, gvec, i, m
+                            )
+                        )(zmat[jnp.asarray(times)], idx, mu),
+                        axis=0,
+                    )
+                else:
+                    gd = con.g_dim
+                    mu_g = lam[o : o + gd]
+                    Hgg = Hgg + jax.hessian(
+                        lambda g: jnp.dot(mu_g, con.global_residual(layout, g))
+                    )(gvec)
+            self.Hzg = Hzg
+            self.Hgg = Hgg
+        else:
+            self.Hzg = jnp.zeros((N, d, 0), dtype=dtype)
+            self.Hgg = jnp.zeros((0, 0), dtype=dtype)
 
         # per-knot inequality Jacobian blocks (N, m, d), columns free-masked
         f_blk = jnp.asarray(S.free_blk, dtype=dtype)
@@ -297,21 +404,35 @@ class _RiccatiCtx:
     def JeT(self, v):
         nlp, S = self.nlp, self.S
         N, d, n_s = S.N, S.d, len(S.s_idx)
+        n_g = S.n_g
         out = jnp.zeros((N, d), dtype=self.dtype)
+        out_g = jnp.zeros((n_g,), dtype=self.dtype)
         # dynamics: rows (N-1, n_s) gathered from flat order
         vd = v[jnp.asarray(S.dyn_flat_of_stack.reshape(-1))].reshape(N - 1, n_s)
         out = out.at[: N - 1].add(jnp.einsum("krd,kr->kd", self.Jr, vd))
         out = out.at[1:, jnp.asarray(S.s_idx)].add(vd)
-        out = out.reshape(-1)
+        full = jnp.concatenate([out.reshape(-1), out_g])
         if nlp.n_lin_eq:
-            out = out + nlp.A_eq.T @ v[nlp.n_dyn : nlp.n_dyn + nlp.n_lin_eq]
-        for con, jac, o in zip(nlp.eq_cons, self.nl_eq_jacs, S.nl_eq_offsets):
-            times = np.asarray(con.times)
-            T, gd = len(times), con.g_dim
-            vr = v[o : o + T * gd].reshape(T, gd)
-            contr = jnp.einsum("tgd,tg->td", jac, vr)
-            out = out.reshape(N, d).at[jnp.asarray(times)].add(contr).reshape(-1)
-        return out
+            full = full + nlp.A_eq.T @ v[nlp.n_dyn : nlp.n_dyn + nlp.n_lin_eq]
+        for con, jac, jac_g, o in zip(
+            nlp.eq_cons, self.nl_eq_jacs, self.nl_eq_jacs_g, S.nl_eq_offsets
+        ):
+            if hasattr(con, "knot_residual"):
+                times = np.asarray(con.times)
+                T, gd = len(times), con.g_dim
+                vr = v[o : o + T * gd].reshape(T, gd)
+                contr = jnp.einsum("tgd,tg->td", jac, vr)
+                zpart = (
+                    full[: N * d].reshape(N, d).at[jnp.asarray(times)].add(contr)
+                )
+                gpart = full[N * d :]
+                if jac_g is not None:
+                    gpart = gpart + jnp.einsum("tgn,tg->n", jac_g, vr)
+                full = jnp.concatenate([zpart.reshape(-1), gpart])
+            else:
+                gd = con.g_dim
+                full = full.at[N * d :].add(jac_g.T @ v[o : o + gd])
+        return full
 
     def JiT(self, v):
         nlp, S = self.nlp, self.S
@@ -322,13 +443,15 @@ class _RiccatiCtx:
         vb = jnp.zeros((S.N, max(S.m_in, 1)), dtype=self.dtype)
         vb = vb.at[jnp.asarray(S.in_knot), jnp.asarray(S.in_slot)].add(v)
         out = jnp.einsum("nmd,nm->nd", self.Jin_raw, vb[:, : S.m_in])
-        return out.reshape(-1)
+        return jnp.concatenate(
+            [out.reshape(-1), jnp.zeros((S.n_g,), dtype=self.dtype)]
+        )
 
     def Ji(self, v):
         nlp, S = self.nlp, self.S
         if nlp.n_in == 0:
             return jnp.zeros((0,), dtype=self.dtype)
-        vm = (v * nlp.free_mask.astype(self.dtype)).reshape(S.N, S.d)
+        vm = (v * nlp.free_mask.astype(self.dtype))[: S.N * S.d].reshape(S.N, S.d)
         prod = jnp.einsum("nmd,nd->nm", self.Jin, vm)
         return prod[jnp.asarray(S.in_knot), jnp.asarray(S.in_slot)]
 
@@ -338,6 +461,7 @@ class _RiccatiCtx:
         nlp, S = self.nlp, self.S
         N, d = S.N, S.d
         n_s, n_v = len(S.s_idx), len(S.v_idx)
+        n_g = S.n_g
         dtype = self.dtype
         f_blk = self.f_blk
         s_ix = jnp.asarray(S.s_idx)
@@ -349,7 +473,20 @@ class _RiccatiCtx:
         # pin projection: rows/cols → 0, diag → 1
         Q = Q * f_blk[:, :, None] * f_blk[:, None, :]
         Q = Q.at[:, ar, ar].add(1.0 - f_blk)
-        Q = Q.at[:, ar, ar].add(Sig.reshape(N, d))
+        Q = Q.at[:, ar, ar].add(Sig[: N * d].reshape(N, d))
+
+        # ---- arrowhead blocks (masked; δ-independent parts) --------------- #
+        if n_g:
+            gf = jnp.asarray(S.g_free, dtype=dtype)
+            Hzg_m = self.Hzg * f_blk[:, :, None] * gf[None, None, :]
+            Hgg_m = (
+                self.Hgg * gf[:, None] * gf[None, :]
+                + jnp.diag(1.0 - gf)
+                + jnp.diag(Sig[N * d :] * gf)
+            )
+        else:
+            gf = None
+            Hzg_m = Hgg_m = None
         if nlp.n_in and S.m_in:
             Db = jnp.zeros((N, S.m_in), dtype=dtype)
             Db = Db.at[jnp.asarray(S.in_knot), jnp.asarray(S.in_slot)].add(D)
@@ -373,84 +510,108 @@ class _RiccatiCtx:
         s0m = jnp.asarray(S.s0_mask, dtype=dtype)
 
         # ---- border rows -------------------------------------------------- #
+        # Row order: [border-pinned dynamics ; linear equalities ; nonlinear
+        # equalities (constraint order)]. Each row has a knot-variable part
+        # C (m_c, N, d) and — with global variables — a global-column part
+        # Cg (m_c, n_g). Knot-local global-free rows additionally get the
+        # ρ curvature shift (see below); global-coupled rows get their
+        # inertia certificate through the arrowhead Schur block instead.
         n_bp = len(S.bp_steps)
         n_border = n_bp + nlp.n_lin_eq + sum(
             c.constraint_dim(nlp.layout) for c in nlp.eq_cons
         )
         C_rows = []
+        Cg_rows = []
         rhs_cc = []
+        # penalized (knot-local, global-free) row bookkeeping
+        loc_knots_l, loc_flat_l = [], []
+        loc_vec_parts = []
+        loc_mask_parts = []
         if n_bp:
             C_bp = jnp.zeros((n_bp, N, d), dtype=dtype)
             C_bp = C_bp.at[jnp.arange(n_bp), jnp.asarray(S.bp_steps), :].set(
                 Jr_m[jnp.asarray(S.bp_steps), jnp.asarray(S.bp_rows), :]
             )
             C_rows.append(C_bp)
+            Cg_rows.append(jnp.zeros((n_bp, n_g), dtype=dtype))
             rhs_cc.append(rhs_c[jnp.asarray(S.bp_flat)])
+            loc_knots_l.append(S.bp_steps)
+            loc_flat_l.append(S.bp_flat)
+            loc_vec_parts.append(C_bp)
+            loc_mask_parts.append(np.ones(n_bp))
         if nlp.n_lin_eq:
-            C_lin = (nlp.A_eq * nlp.free_mask[None, :].astype(dtype)).reshape(
-                nlp.n_lin_eq, N, d
-            )
+            A_eq_m = nlp.A_eq * nlp.free_mask[None, :].astype(dtype)
+            C_lin = A_eq_m[:, : N * d].reshape(nlp.n_lin_eq, N, d)
             C_rows.append(C_lin)
+            Cg_rows.append(A_eq_m[:, N * d :])
             rhs_cc.append(rhs_c[nlp.n_dyn : nlp.n_dyn + nlp.n_lin_eq])
-        for con, jac, o in zip(nlp.eq_cons, self.nl_eq_jacs, S.nl_eq_offsets):
-            times = np.asarray(con.times)
-            T, gd = len(times), con.g_dim
-            Cc = jnp.zeros((T * gd, N, d), dtype=dtype)
-            rows = jnp.arange(T * gd).reshape(T, gd)
-            Cc = Cc.at[rows, jnp.asarray(times)[:, None], :].set(
-                jac * f_blk[jnp.asarray(times)][:, None, :]
-            )
-            C_rows.append(Cc)
-            rhs_cc.append(rhs_c[o : o + T * gd])
+            loc_mask_parts.append(np.zeros(nlp.n_lin_eq))
+        for con, jac, jac_g, o in zip(
+            nlp.eq_cons, self.nl_eq_jacs, self.nl_eq_jacs_g, S.nl_eq_offsets
+        ):
+            if hasattr(con, "knot_residual"):
+                times = np.asarray(con.times)
+                T, gd = len(times), con.g_dim
+                Cc = jnp.zeros((T * gd, N, d), dtype=dtype)
+                rows = jnp.arange(T * gd).reshape(T, gd)
+                Cc = Cc.at[rows, jnp.asarray(times)[:, None], :].set(
+                    jac * f_blk[jnp.asarray(times)][:, None, :]
+                )
+                C_rows.append(Cc)
+                if jac_g is None:
+                    Cg_rows.append(jnp.zeros((T * gd, n_g), dtype=dtype))
+                    loc_knots_l.append(np.repeat(times, gd))
+                    loc_flat_l.append(np.arange(o, o + T * gd))
+                    loc_vec_parts.append(Cc)
+                    loc_mask_parts.append(np.ones(T * gd))
+                else:
+                    Cg_rows.append(
+                        (jac_g * gf[None, None, :]).reshape(T * gd, n_g)
+                    )
+                    loc_mask_parts.append(np.zeros(T * gd))
+                rhs_cc.append(rhs_c[o : o + T * gd])
+            else:  # pure-global constraint: zero knot part
+                gd = con.g_dim
+                C_rows.append(jnp.zeros((gd, N, d), dtype=dtype))
+                Cg_rows.append(jac_g * gf[None, :])
+                rhs_cc.append(rhs_c[o : o + gd])
+                loc_mask_parts.append(np.zeros(gd))
         if n_border:
             C = jnp.concatenate(C_rows, axis=0)  # (m_c, N, d)
+            Cg = (
+                jnp.concatenate(Cg_rows, axis=0)
+                if n_g
+                else jnp.zeros((n_border, 0), dtype=dtype)
+            )
             rcc = jnp.concatenate(rhs_cc)
         else:
             C = jnp.zeros((0, N, d), dtype=dtype)
+            Cg = jnp.zeros((0, n_g), dtype=dtype)
             rcc = jnp.zeros((0,), dtype=dtype)
 
-        # ---- augmented-Lagrangian curvature shift for knot-local border
-        # rows (pins of state coords, nonlinear equalities): adding
-        # ρ·cᵀc to the owning knot's Q block (and ρ·Cᵀr to the rhs inside
-        # full_solve) leaves the constrained solution invariant but moves the
-        # curvature these constraints fix into the core, so the stage-wise
-        # Cholesky inertia certificate matches the full KKT inertia ---------- #
+        # ---- augmented-Lagrangian curvature shift for knot-local,
+        # global-free border rows (pins of state coords, nonlinear
+        # equalities): adding ρ·cᵀc to the owning knot's Q block (and ρ·Cᵀr
+        # to the rhs inside full_solve) leaves the constrained solution
+        # invariant but moves the curvature these constraints fix into the
+        # core, so the stage-wise Cholesky inertia certificate matches the
+        # full KKT inertia ------------------------------------------------- #
         rho = opt.border_penalty
-        loc_knots_l, loc_flat_l = [], []
-        if n_bp:
-            loc_knots_l.append(S.bp_steps)
-            loc_flat_l.append(S.bp_flat)
-        for con, o in zip(nlp.eq_cons, S.nl_eq_offsets):
-            times = np.asarray(con.times)
-            T, gd = len(times), con.g_dim
-            loc_knots_l.append(np.repeat(times, gd))
-            loc_flat_l.append(np.arange(o, o + T * gd))
         if loc_knots_l:
             loc_knots = jnp.asarray(np.concatenate(loc_knots_l))
             loc_flat = np.concatenate(loc_flat_l)
-            # localized row vectors: bp rows then nl_eq rows, matching C order
-            vec_parts = []
-            if n_bp:
-                vec_parts.append(C_rows[0])
-            ci = 1 if n_bp else 0
-            if nlp.n_lin_eq:
-                ci += 1
-            for k in range(ci, len(C_rows)):
-                vec_parts.append(C_rows[k])
-            loc_vecs = jnp.concatenate(vec_parts, axis=0) if vec_parts else None
-            if loc_vecs is not None:
-                lv = loc_vecs[jnp.arange(len(loc_flat)), loc_knots, :]  # (n_loc, d)
-                Q = Q.at[loc_knots].add(rho * lv[:, None, :] * lv[:, :, None])
+            loc_vecs = jnp.concatenate(loc_vec_parts, axis=0)
+            lv = loc_vecs[jnp.arange(len(loc_flat)), loc_knots, :]  # (n_loc, d)
+            Q = Q.at[loc_knots].add(rho * lv[:, None, :] * lv[:, :, None])
         else:
             loc_knots = None
             loc_flat = np.zeros((0,), dtype=np.int64)
             lv = None
-        # which border rows carry the penalty: [bp; lin_eq; nl_eq] order
-        n_nl_rows = n_border - n_bp - nlp.n_lin_eq
+        # which border rows carry the penalty (matching C row order)
         loc_border_mask = jnp.asarray(
-            np.concatenate(
-                [np.ones(n_bp), np.zeros(nlp.n_lin_eq), np.ones(n_nl_rows)]
-            ),
+            np.concatenate(loc_mask_parts)
+            if loc_mask_parts
+            else np.zeros((0,)),
             dtype=dtype,
         )
 
@@ -465,7 +626,7 @@ class _RiccatiCtx:
         fV = f_blk[:, v_ix][:, :, None] * eye_v[None]
 
         m_c = C.shape[0]
-        R_all = m_c + 1  # border columns + the main right-hand side
+        R_all = m_c + n_g + 1  # border + arrowhead columns + main rhs
 
         def _rho_adjust(rhs_z_blk, rhs_c_flat):
             """Augmented-Lagrangian rhs shift matching the ρ·cᵀc in Q."""
@@ -483,14 +644,20 @@ class _RiccatiCtx:
             ].reshape(N - 1, n_s) * cm
             return jnp.concatenate([b_dyn, jnp.zeros((1, n_s), dtype)], axis=0)
 
-        # RHS stack: m_c border columns (−C, zero dynamics rhs) + the main
-        # system (−(−g_hat + ρ-shift), dynamics rhs). One fused backward/
-        # forward sweep solves them all against one factorization.
-        rhs_main = _rho_adjust((-g_hat).reshape(N, d), rhs_c)
-        q_all = jnp.concatenate([-C, -rhs_main[None]], axis=0)  # (R, N, d)
+        # RHS stack: m_c border columns (−C, zero dynamics rhs), n_g
+        # arrowhead columns (−Hzg, zero dynamics rhs), then the main system
+        # (−(−g_hat + ρ-shift), dynamics rhs). One fused backward/forward
+        # sweep solves them all against one factorization.
+        rhs_main = _rho_adjust((-g_hat[: N * d]).reshape(N, d), rhs_c)
+        rg_main = -g_hat[N * d :]  # (n_g,) global stationarity rhs
+        if n_g:
+            Hzg_cols = jnp.transpose(Hzg_m, (2, 0, 1))  # (n_g, N, d)
+            q_all = jnp.concatenate([-C, -Hzg_cols, -rhs_main[None]], axis=0)
+        else:
+            q_all = jnp.concatenate([-C, -rhs_main[None]], axis=0)
         b_all = jnp.concatenate(
             [
-                jnp.zeros((m_c, N, n_s), dtype),
+                jnp.zeros((m_c + n_g, N, n_s), dtype),
                 _b_dyn_pad(rhs_c)[None],
             ],
             axis=0,
@@ -505,6 +672,15 @@ class _RiccatiCtx:
         FS = make_factor_solve(s0_key, self.pallas_mode)
         RS = make_resolve(s0_key, self.pallas_mode)
 
+        def _scatter_dz(dzs, dzv):
+            return (
+                jnp.zeros(dzs.shape[:-1] + (d,), dtype)
+                .at[..., s_ix]
+                .set(dzs)
+                .at[..., v_ix]
+                .set(dzv)
+            )
+
         def factor(delta_w):
             P, Lv, Kg, Mvs, L0, okf, dzs, dzv, lamS = FS(
                 Qss + delta_w * fS,
@@ -516,7 +692,42 @@ class _RiccatiCtx:
                 qv_all,
                 b_all,
             )
-            return (P, Lv, Kg, Mvs, L0, dzs, dzv, lamS, okf)
+            if not n_g:
+                return (P, Lv, Kg, Mvs, L0, dzs, dzv, lamS, None, None, okf)
+            # arrowhead Schur block inside the retry: the δ ladder certifies
+            # the reduced global Hessian T = Hgg' − HzgᵀK⁻¹Hzg (+W₁ᵀM⁻¹W₁)
+            dz_all_ = _scatter_dz(dzs, dzv)
+            Y = dz_all_[m_c : m_c + n_g]
+            HzgTY = jnp.einsum("ndg,jnd->gj", Hzg_m, Y)
+            Tm = (
+                Hgg_m
+                + delta_w * jnp.diag(gf)
+                - 0.5 * (HzgTY + HzgTY.T)
+            )
+            if m_c:
+                X = dz_all_[:m_c]
+                Smat = jnp.einsum("jnd,knd->jk", C, X) + opt.delta_c * jnp.eye(
+                    m_c, dtype=dtype
+                )
+                Ls_ = jnp.linalg.cholesky(Smat)
+                ok_s = jnp.all(jnp.isfinite(Ls_))
+                Ls_ = jnp.where(jnp.isfinite(Ls_), Ls_, jnp.eye(m_c, dtype=dtype))
+                W1_ = jnp.einsum("jnd,ind->ji", C, Y) - Cg
+                Tred = Tm + W1_.T @ jax.scipy.linalg.cho_solve((Ls_, True), W1_)
+            else:
+                Ls_ = None
+                W1_ = None
+                ok_s = jnp.asarray(True)
+                Tred = Tm
+            Lg_ = jnp.linalg.cholesky(Tred)
+            ok_g = jnp.all(jnp.isfinite(Lg_))
+            Lg_ = jnp.where(jnp.isfinite(Lg_), Lg_, jnp.eye(n_g, dtype=dtype))
+            return (
+                P, Lv, Kg, Mvs, L0, dzs, dzv, lamS,
+                (Ls_, W1_) if m_c else None,
+                Lg_,
+                okf & ok_s & ok_g,
+            )
 
         (
             delta,
@@ -528,20 +739,25 @@ class _RiccatiCtx:
             dzs,
             dzv,
             lamS,
+            schur_mc,
+            Lg,
             ok,
         ) = _reg_retry(factor, delta_last, opt, dtype)
 
         lamS = lamS * cm[None]
-        dz_all = (
-            jnp.zeros((R_all, N, d), dtype)
-            .at[:, :, s_ix]
-            .set(dzs)
-            .at[:, :, v_ix]
-            .set(dzv)
-        )
+        dz_all = _scatter_dz(dzs, dzv)
 
         # border columns + Schur factor, shared by main solve and SOC resolve
-        if m_c:
+        if n_g:
+            Y, Ylam = dz_all[m_c : m_c + n_g], lamS[m_c : m_c + n_g]
+            if m_c:
+                Xz, Xlam = dz_all[:m_c], lamS[:m_c]
+                Ls, W1 = schur_mc
+            else:
+                Xz = Xlam = Ls = W1 = None
+            ok_s_factor = jnp.asarray(True)  # certified inside the retry
+            Hgg_d = Hgg_m + delta * jnp.diag(gf)
+        elif m_c:
             Xz, Xlam = dz_all[:m_c], lamS[:m_c]
             Smat = jnp.einsum("jnd,knd->jk", C, Xz) + opt.delta_c * jnp.eye(
                 m_c, dtype=dtype
@@ -549,37 +765,85 @@ class _RiccatiCtx:
             Ls = jnp.linalg.cholesky(Smat)
             ok_s_factor = jnp.all(jnp.isfinite(Ls))
             Ls = jnp.where(jnp.isfinite(Ls), Ls, jnp.eye(m_c, dtype=dtype))
+            Y = Ylam = W1 = None
         else:
-            Xz = Xlam = Ls = None
+            Xz = Xlam = Ls = Y = Ylam = W1 = None
             ok_s_factor = jnp.asarray(True)
 
-        def _combine(dz0, lam0, rhs_c_flat):
-            """Schur-combine a core solution with the border columns."""
-            if m_c == 0:
-                return dz0, lam0, jnp.zeros((0,), dtype), jnp.asarray(True)
+        def _block_solve(r1, r2):
+            """Solve [M W₁; −W₁ᵀ T](λ, dg) = (r1, r2) with stored factors."""
+            if n_g:
+                if m_c:
+                    t = r2 + W1.T @ jax.scipy.linalg.cho_solve((Ls, True), r1)
+                    dg = jax.scipy.linalg.cho_solve((Lg, True), t)
+                    lam_c = jax.scipy.linalg.cho_solve((Ls, True), r1 - W1 @ dg)
+                else:
+                    dg = jax.scipy.linalg.cho_solve((Lg, True), r2)
+                    lam_c = jnp.zeros((0,), dtype)
+            else:
+                dg = jnp.zeros((0,), dtype)
+                lam_c = jax.scipy.linalg.cho_solve((Ls, True), r1)
+            return lam_c, dg
+
+        def _combine(dz0, lam0, rhs_c_flat, rg):
+            """Schur-combine a core solution with border + arrowhead columns.
+
+            Solves the bordered system for (λc, dg) by Newton iteration on
+            the factored block solve (3 passes: initial + 2 refinements that
+            remove the δc perturbation), then corrects dz and the dynamics
+            multipliers."""
+            if m_c == 0 and n_g == 0:
+                return dz0, lam0, jnp.zeros((0,), dtype), jnp.zeros((0,), dtype), ok_s_factor
             rcc_j = _border_rhs(rhs_c_flat)
-            resid = jnp.einsum("jnd,nd->j", C, dz0) - rcc_j
-            lam_c = jax.scipy.linalg.cho_solve((Ls, True), resid)
-            dz = dz0 - jnp.einsum("jnd,j->nd", Xz, lam_c)
-            lam_stack = lam0 - jnp.einsum("jkr,j->kr", Xlam, lam_c)
-            # refine away the δc perturbation on the border rows (Schur-only
-            # sweeps; stationarity stays exact by linearity)
-            for _ in range(2):
-                r_b = jnp.einsum("jnd,nd->j", C, dz) - rcc_j
-                dlam = jax.scipy.linalg.cho_solve((Ls, True), r_b)
-                dz = dz - jnp.einsum("jnd,j->nd", Xz, dlam)
-                lam_stack = lam_stack - jnp.einsum("jkr,j->kr", Xlam, dlam)
+            lam_c = jnp.zeros((m_c,), dtype)
+            dg = jnp.zeros((n_g,), dtype)
+            dz = dz0
+            for _ in range(3):
+                if m_c:
+                    R1 = (
+                        jnp.einsum("jnd,nd->j", C, dz)
+                        + (Cg @ dg if n_g else 0.0)
+                        - rcc_j
+                    )
+                else:
+                    R1 = jnp.zeros((0,), dtype)
+                if n_g:
+                    R2 = (
+                        jnp.einsum("ndg,nd->g", Hzg_m, dz)
+                        + Hgg_d @ dg
+                        + (Cg.T @ lam_c if m_c else 0.0)
+                        - rg
+                    )
+                else:
+                    R2 = jnp.zeros((0,), dtype)
+                dlam, ddg = _block_solve(R1, -R2)
                 lam_c = lam_c + dlam
+                dg = dg + ddg
+                dz = dz0
+                if m_c:
+                    dz = dz - jnp.einsum("jnd,j->nd", Xz, lam_c)
+                if n_g:
+                    dz = dz - jnp.einsum("jnd,j->nd", Y, dg)
+            lam_stack = lam0
+            if m_c:
+                lam_stack = lam_stack - jnp.einsum("jkr,j->kr", Xlam, lam_c)
+            if n_g:
+                lam_stack = lam_stack - jnp.einsum("jkr,j->kr", Ylam, dg)
             # undo the augmented-Lagrangian shift in the border multipliers:
             # the aug system returns λ̃c with C'λ̃c = C'λc − ρC'(C dz − r) on
-            # penalized rows, so λc = λ̃c + ρ(C dz − r) there
-            r_b = jnp.einsum("jnd,nd->j", C, dz) - rcc_j
-            lam_c = lam_c + rho * loc_border_mask * r_b
-            return dz, lam_stack, lam_c, ok_s_factor
+            # penalized rows, so λc = λ̃c + ρ(C dz − r) there (penalized rows
+            # are global-free, so the Cg·dg term vanishes on them)
+            if m_c:
+                r_b = jnp.einsum("jnd,nd->j", C, dz) - rcc_j
+                lam_c = lam_c + rho * loc_border_mask * r_b
+            return dz, lam_stack, lam_c, dg, ok_s_factor
 
-        def full_solve_extra(rhs_z_blk, rhs_c_flat):
+        def full_solve_extra(rhs_z_full, rhs_c_flat):
             """Solve core + border for a NEW rhs, reusing the factorization."""
-            rhs_z_blk = _rho_adjust(rhs_z_blk, rhs_c_flat)
+            rhs_z_blk = _rho_adjust(
+                rhs_z_full[: N * d].reshape(N, d), rhs_c_flat
+            )
+            rg = rhs_z_full[N * d :]
             q1 = -rhs_z_blk[None]
             dzs1, dzv1, lam1 = RS(
                 P_all,
@@ -601,7 +865,7 @@ class _RiccatiCtx:
                 .at[:, v_ix]
                 .set(dzv1[0])
             )
-            return _combine(dz0, lam0, rhs_c_flat)
+            return _combine(dz0, lam0, rhs_c_flat, rg)
 
         def _border_rhs(rhs_c_flat):
             parts = []
@@ -610,8 +874,8 @@ class _RiccatiCtx:
             if nlp.n_lin_eq:
                 parts.append(rhs_c_flat[nlp.n_dyn : nlp.n_dyn + nlp.n_lin_eq])
             for con, o in zip(nlp.eq_cons, S.nl_eq_offsets):
-                T, gd = len(con.times), con.g_dim
-                parts.append(rhs_c_flat[o : o + T * gd])
+                cd = con.constraint_dim(nlp.layout)
+                parts.append(rhs_c_flat[o : o + cd])
             if parts:
                 return jnp.concatenate(parts)
             return jnp.zeros((0,), dtype=dtype)
@@ -631,20 +895,23 @@ class _RiccatiCtx:
                 ].set(lam_c[pos : pos + nlp.n_lin_eq])
                 pos += nlp.n_lin_eq
             for con, o in zip(nlp.eq_cons, S.nl_eq_offsets):
-                T, gd = len(con.times), con.g_dim
-                lam_flat = lam_flat.at[o : o + T * gd].set(lam_c[pos : pos + T * gd])
-                pos += T * gd
+                cd = con.constraint_dim(nlp.layout)
+                lam_flat = lam_flat.at[o : o + cd].set(lam_c[pos : pos + cd])
+                pos += cd
             return lam_flat
 
         def resolve(rhs_z, rhs_c_flat):
-            dz, lam_stack, lam_c, _ = full_solve_extra(
-                rhs_z.reshape(N, d), rhs_c_flat
+            dz, lam_stack, lam_c, dg, _ = full_solve_extra(rhs_z, rhs_c_flat)
+            return (
+                jnp.concatenate([dz.reshape(-1), dg]),
+                pack_lam(lam_stack, lam_c),
             )
-            return dz.reshape(-1), pack_lam(lam_stack, lam_c)
 
         # the main solution came out of the fused sweep (last RHS slot)
-        dz, lam_stack, lam_c, ok_s = _combine(dz_all[m_c], lamS[m_c], rhs_c)
-        dZ = dz.reshape(-1)
+        dz, lam_stack, lam_c, dg, ok_s = _combine(
+            dz_all[m_c + n_g], lamS[m_c + n_g], rhs_c, rg_main
+        )
+        dZ = jnp.concatenate([dz.reshape(-1), dg])
         lam_plus = pack_lam(lam_stack, lam_c)
         ok = ok & ok_s & jnp.all(jnp.isfinite(dZ)) & jnp.all(jnp.isfinite(lam_plus))
         return dZ, lam_plus, ok, delta, resolve

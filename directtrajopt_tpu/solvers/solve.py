@@ -45,6 +45,16 @@ def _make_ops(nlp, backend: str):
             return RiccatiOps(nlp)
         if backend == "riccati":
             raise ValueError("problem is not Riccati-eligible")
+        # falling back silently would hide an O((N·d)³)-vs-O(N·d³) cliff —
+        # tell the user what structure broke eligibility (VERDICT r1 item 5)
+        import warnings
+
+        warnings.warn(
+            "problem is not Riccati-eligible (implicit integrator, cross-knot "
+            "or global-coupled inequality, or multi-knot linear inequality "
+            "row); using the dense KKT backend — expect O((N·d)^3) solves",
+            stacklevel=3,
+        )
     from .ops_dense import DenseOps
 
     return DenseOps(nlp)

@@ -22,6 +22,7 @@ def make_problem(
     with_nl_eq=True,
     with_symmetry=True,
     with_duration=True,
+    with_globals=False,
     N=9,
     seed=0,
 ):
@@ -41,6 +42,8 @@ def make_problem(
         bounds["sl"] = (0.0, np.inf)
     if free_time:
         bounds["dt"] = (0.02, 0.4)
+    if with_globals:
+        bounds["theta"] = 2.0
     traj = dtx.Trajectory.create(
         data,
         timestep="dt" if free_time else 0.1,
@@ -48,6 +51,9 @@ def make_problem(
         initial={"x": [1.0, 0.0], "u": [0.0]},
         final={"x": [0.0, 1.0], "u": [0.0]},
         bounds=bounds,
+        global_data={"theta": 0.3 * rng.normal(size=2) + 0.5}
+        if with_globals
+        else None,
     )
     integs = [
         dtx.BilinearIntegrator.create((G_DRIFT, [G_DRIVE]), "x", "u", traj),
@@ -79,6 +85,35 @@ def make_problem(
         cons.append(dtx.SymmetryConstraint.create("ddu", [0], even=True))
     if with_duration and free_time:
         cons.append(dtx.DurationConstraint(0.1 * (N - 1)))
+    if with_globals:
+        # arrowhead coverage: global objective (pure + knot-coupled Hessian
+        # cross blocks), a pure-global nonlinear equality, a global-coupled
+        # knot equality, and a linear equality row with global columns
+        obj = obj + dtx.GlobalObjective.create(
+            lambda th: jnp.sum(th**2) + 0.1 * jnp.sum(th**4), "theta", traj
+        )
+        obj = obj + dtx.GlobalKnotPointObjective.create(
+            lambda v: 0.05 * (v[0] * v[-1]) ** 2, "x", "theta", traj
+        )
+        cons.append(
+            dtx.NonlinearGlobalConstraint.create(
+                lambda th: jnp.array([jnp.sum(th**2) - 0.5]), "theta", traj
+            )
+        )
+        cons.append(
+            dtx.NonlinearGlobalKnotPointConstraint.create(
+                lambda v: jnp.array([v[0] + 0.2 * v[-1] ** 2 - 0.1]),
+                "u",
+                "theta",
+                traj,
+                times=[2],
+            )
+        )
+        cons.append(
+            dtx.GlobalLinearConstraint.create(
+                "theta", np.array([[1.0, -0.5]]), lb=[0.1], ub=[0.1]
+            )
+        )
     return dtx.DirectTrajOptProblem.create(traj, obj, integs, constraints=cons)
 
 
@@ -179,6 +214,24 @@ def test_ops_agree_full_zoo():
     _compare_ops(make_problem())
 
 
+def test_ops_agree_globals():
+    """Arrowhead border: global objective + global-coupled equality zoo."""
+    _compare_ops(
+        make_problem(
+            with_l1=False,
+            with_nl_ineq=False,
+            with_symmetry=False,
+            with_duration=False,
+            with_globals=True,
+        )
+    )
+
+
+def test_ops_agree_globals_full():
+    """Arrowhead combined with the full constraint zoo (m_c > 0 coupling)."""
+    _compare_ops(make_problem(with_globals=True))
+
+
 def test_ops_agree_fixed_time_minimal():
     _compare_ops(
         make_problem(
@@ -199,7 +252,7 @@ def test_ops_agree_no_inequalities():
 
 
 def test_eligibility():
-    # globals -> ineligible
+    # globals -> eligible since round 2 (arrowhead border)
     N = 5
     traj = dtx.Trajectory.create(
         {"x": np.zeros((N, 1)), "v": np.zeros((N, 1))},
@@ -211,7 +264,23 @@ def test_eligibility():
         dtx.QuadraticRegularizer.create("v", traj, 1.0),
         dtx.DerivativeIntegrator.create("x", "v", traj),
     )
-    assert analyze(make_nlp(prob)) is None
+    assert analyze(make_nlp(prob)) is not None
+    # global-coupled INEQUALITY -> ineligible (falls back to dense)
+    prob_gi = dtx.DirectTrajOptProblem.create(
+        traj,
+        dtx.QuadraticRegularizer.create("v", traj, 1.0),
+        dtx.DerivativeIntegrator.create("x", "v", traj),
+        constraints=[
+            dtx.NonlinearGlobalKnotPointConstraint.create(
+                lambda w: jnp.array([w[0] * w[-1] - 1.0]),
+                "x",
+                "th",
+                traj,
+                equality=False,
+            )
+        ],
+    )
+    assert analyze(make_nlp(prob_gi)) is None
     # plain OCP -> eligible
     traj2 = dtx.Trajectory.create(
         {"x": np.zeros((N, 1)), "v": np.zeros((N, 1))}, timestep=0.1
@@ -298,6 +367,64 @@ def test_e2e_riccati_matches_dense_strict():
     assert float(res_d.kkt_error) < 1e-8 and float(res_r.kkt_error) < 1e-8
     np.testing.assert_allclose(
         np.asarray(res_r.ipm.Z), np.asarray(res_d.ipm.Z), atol=1e-6
+    )
+
+
+def test_e2e_riccati_matches_dense_globals():
+    """Arrowhead E2E: a global phase parameter coupled to the trajectory
+    through a knot equality and a global objective — both backends must find
+    the same point (analog of `src/objectives/global_objectives.jl:151-341`
+    coverage)."""
+    rng = np.random.default_rng(7)
+    N = 12
+    integ = dtx.BilinearIntegrator.create((G_DRIFT, [G_DRIVE]), "x", "u", None)
+    u = 0.3 * np.sin(np.linspace(0, 4, N))[:, None]
+    xs = dtx.bilinear_rollout(integ, jnp.array([1.0, 0.0]), jnp.asarray(u), 0.12)
+    traj = dtx.Trajectory.create(
+        {"x": np.asarray(xs) + 0.02 * rng.normal(size=(N, 2)), "u": u},
+        timestep=0.12,
+        controls="u",
+        initial={"x": [1.0, 0.0]},
+        final={"x": np.asarray(xs[-1])},
+        bounds={"u": 0.8, "theta": 3.0},
+        global_data={"theta": [0.4, -0.2]},
+    )
+    obj = (
+        dtx.QuadraticRegularizer.create("u", traj, 1.0)
+        + dtx.GlobalObjective.create(
+            lambda th: jnp.sum((th - 0.3) ** 2), "theta", traj
+        )
+        + dtx.GlobalKnotPointObjective.create(
+            lambda v: 0.02 * (v[1] - v[-1]) ** 2, "x", "theta", traj
+        )
+    )
+    cons = [
+        dtx.NonlinearGlobalKnotPointConstraint.create(
+            lambda v: jnp.array([v[0] - 0.5 * v[-2] - 0.1]),
+            "u",
+            "theta",
+            traj,
+            times=[3],
+        ),
+        dtx.GlobalLinearConstraint.create(
+            "theta", np.array([[1.0, 1.0]]), lb=[0.2], ub=[0.2]
+        ),
+    ]
+    prob = dtx.DirectTrajOptProblem.create(
+        traj,
+        obj,
+        [dtx.BilinearIntegrator.create((G_DRIFT, [G_DRIVE]), "x", "u", traj)],
+        constraints=cons,
+    )
+    from directtrajopt_tpu.solvers.canonical import make_nlp as _mk
+
+    assert analyze(_mk(prob)) is not None, "global fixture should be eligible"
+    res_d = dtx.solve(prob, backend="dense", max_iter=200)
+    res_r = dtx.solve(prob, backend="riccati", max_iter=200)
+    assert bool(res_d.converged) and bool(res_r.converged)
+    assert float(res_d.kkt_error) < 1e-7 and float(res_r.kkt_error) < 1e-7
+    np.testing.assert_allclose(
+        np.asarray(res_r.ipm.Z), np.asarray(res_d.ipm.Z), atol=1e-5
     )
 
 
