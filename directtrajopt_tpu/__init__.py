@@ -61,6 +61,9 @@ from .solvers import (
     solve,
     stop_iteration,
     solve_batch,
+    remove_slack_variables,
+    get_default_options,
+    set_default_options,
     solve_jit,
 )
 from .trajectory import Layout, Trajectory, traj_index, traj_slice

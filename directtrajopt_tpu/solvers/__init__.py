@@ -8,7 +8,15 @@ from .callbacks import (
 from .canonical import CanonicalNLP, make_nlp
 from .ipm import IPMResult, IPMState, ipm_solve
 from .options import IPMOptions
-from .solve import SolveResult, solve, solve_batch, solve_jit
+from .solve import (
+    SolveResult,
+    get_default_options,
+    remove_slack_variables,
+    set_default_options,
+    solve,
+    solve_batch,
+    solve_jit,
+)
 
 __all__ = [
     "CanonicalNLP",
@@ -25,5 +33,8 @@ __all__ = [
     "make_nlp",
     "solve",
     "solve_batch",
+    "remove_slack_variables",
+    "get_default_options",
+    "set_default_options",
     "solve_jit",
 ]

@@ -24,7 +24,52 @@ from .canonical import make_nlp
 from .ipm import IPMResult, ipm_solve
 from .options import IPMOptions
 
-__all__ = ["SolveResult", "solve", "solve_batch", "solve_jit"]
+__all__ = [
+    "SolveResult",
+    "solve",
+    "solve_batch",
+    "solve_jit",
+    "remove_slack_variables",
+    "get_default_options",
+    "set_default_options",
+]
+
+# process-global default solver options (analog of the reference's settable
+# DefaultSolverOptions registry, `src/solvers/_solvers.jl:61-70`): used when
+# a solve is called without an explicit options object.
+_DEFAULT_OPTIONS: list = [None]
+
+
+def get_default_options() -> IPMOptions:
+    """Current process-global default solver options."""
+    return _DEFAULT_OPTIONS[0] or IPMOptions()
+
+
+def set_default_options(options: IPMOptions | None) -> None:
+    """Set (or with ``None`` reset) the process-global default options."""
+    _DEFAULT_OPTIONS[0] = options
+
+
+def remove_slack_variables(problem: DirectTrajOptProblem) -> DirectTrajOptProblem:
+    """Drop L1 slack components (and their constraints) from a solved problem
+    (`/root/reference/src/solvers/solve.jl:6-17`). Functional: returns a new
+    problem."""
+    from ..constraints.linear import L1SlackConstraint
+
+    slack_names = [
+        con.slack_name
+        for con in problem.constraints
+        if isinstance(con, L1SlackConstraint)
+    ]
+    if not slack_names:
+        return problem
+    new_traj = problem.trajectory.remove_components(slack_names)
+    new_cons = tuple(
+        con
+        for con in problem.constraints
+        if not isinstance(con, L1SlackConstraint)
+    )
+    return problem.replace(trajectory=new_traj, constraints=new_cons)
 
 
 class SolveResult(NamedTuple):
@@ -153,7 +198,7 @@ def solve_batch(
 
 
 def _merge_options(options: IPMOptions | None, kwargs: dict) -> IPMOptions:
-    options = options or IPMOptions()
+    options = options or get_default_options()
     if kwargs:
         unknown = [k for k in kwargs if not hasattr(options, k)]
         if unknown:

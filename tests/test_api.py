@@ -69,6 +69,7 @@ def test_public_symbols_importable_from_top_level():
         "make_nlp", "rollout", "bilinear_rollout", "rollout_fidelity",
         "mpc_step", "shift_trajectory",
         "fix_trajectory_variable", "fix_global_variable",
+        "remove_slack_variables", "get_default_options", "set_default_options",
     ]
     for sym in expected:
         assert hasattr(dtx, sym), f"missing top-level export {sym}"
