@@ -1,3 +1,15 @@
-from .mesh import make_mesh, shard_batch, solve_batch_sharded
+from .mesh import (
+    init_distributed,
+    make_mesh,
+    shard_batch,
+    solve_batch_sharded,
+    weak_scaling,
+)
 
-__all__ = ["make_mesh", "shard_batch", "solve_batch_sharded"]
+__all__ = [
+    "init_distributed",
+    "make_mesh",
+    "shard_batch",
+    "solve_batch_sharded",
+    "weak_scaling",
+]
