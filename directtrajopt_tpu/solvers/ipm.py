@@ -60,6 +60,9 @@ class IPMState(NamedTuple):
     filter_ph: jax.Array  # (F,) filter φ entries
     filter_n: jax.Array  # number of live entries
     delta_w_last: jax.Array  # last successful regularization
+    stall_count: jax.Array  # consecutive stalled restoration steps
+    infeasible: jax.Array  # local-infeasibility certificate fired
+    rest_failed: jax.Array  # restoration stalled without a certificate
     iter: jax.Array
     converged: jax.Array
     acc_count: jax.Array  # consecutive iterations at acceptable tolerance
@@ -80,7 +83,8 @@ class IPMResult(NamedTuple):
     state: IPMState
     iterations: jax.Array
     converged: jax.Array
-    status: jax.Array  # 0=optimal, 1=acceptable, 2=iteration limit, 3=callback stop
+    status: jax.Array  # 0=optimal, 1=acceptable, 2=iteration limit,
+    # 3=callback stop, 4=locally infeasible, 5=restoration failed
     kkt_error: jax.Array
     objective: jax.Array
     history_Z: jax.Array
@@ -174,6 +178,9 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
         filter_ph=jnp.full((_FILTER_SIZE,), jnp.inf, dtype=dtype),
         filter_n=jnp.zeros((), dtype=jnp.int32),
         delta_w_last=jnp.zeros((), dtype=dtype),
+        stall_count=jnp.zeros((), dtype=jnp.int32),
+        infeasible=jnp.asarray(False),
+        rest_failed=jnp.asarray(False),
         iter=jnp.zeros((), dtype=jnp.int32),
         converged=jnp.asarray(False),
         acc_count=jnp.zeros((), dtype=jnp.int32),
@@ -487,30 +494,99 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
         acc_s, ftype_s = acceptable(a_soc, phi_s, theta_s)
         use_soc = (~acc_1) & (theta_1 > theta0) & acc_s
 
+        # restoration direction: pure feasibility step in the Lagrangian
+        # metric (min ½dzᵀ(W+Σ)dz s.t. J dz = −c), reusing the iteration's
+        # factorization. The TPU-shaped analog of Ipopt's restoration phase:
+        # instead of a nested feasibility NLP (data-dependent control flow a
+        # lockstep batch cannot afford), the deepest line-search grid slots
+        # trial this direction with a θ-only acceptance — same trial count,
+        # so restoration costs one extra `resolve` per iteration and nothing
+        # else.
+        n_rest = options.n_rest_trials if (n_eq or n_in) else 0
+        if n_rest:
+            g_rest = (
+                free * ctx.JiT(D * (c_i + s))
+                if n_in
+                else jnp.zeros((z_dim,), dtype=dtype)
+            )
+            dZ_r, _ = resolve(-g_rest, -c_e)
+            ds_r = (
+                -(c_i + s) - ctx.Ji(dZ_r) if n_in else jnp.zeros((0,), dtype=dtype)
+            )
+            a_r = max_primal_step(dZ_r, ds_r)
+        else:
+            dZ_r, ds_r = dZ, ds
+            a_r = jnp.zeros((), dtype=dtype)
+
         # backtracking as a parallel trial grid: evaluate all candidate step
         # sizes in one batched pass (a sequential while_loop would make every
-        # vmapped lane pay for the slowest lane's backtracks)
-        alphas_bt = a_pri * (0.5 ** jnp.arange(1, options.max_ls + 1, dtype=dtype))
-        phis_bt, thetas_bt = jax.vmap(lambda a: trial(a, dZ, ds))(alphas_bt)
-        accepts_bt = jax.vmap(acceptable)(alphas_bt, phis_bt, thetas_bt)[0]
+        # vmapped lane pay for the slowest lane's backtracks). The last
+        # n_rest slots trial the restoration direction instead.
+        n_bt = options.max_ls - n_rest
+        alphas_main = a_pri * (0.5 ** jnp.arange(1, n_bt + 1, dtype=dtype))
+        alphas_rest = a_r * (0.5 ** jnp.arange(0, n_rest, dtype=dtype))
+        alphas_all = jnp.concatenate([alphas_main, alphas_rest])
+        is_rest = jnp.concatenate(
+            [jnp.zeros((n_bt,), bool), jnp.ones((n_rest,), bool)]
+        )
+
+        def trial_dir(alpha, r):
+            dZ_ = jnp.where(r, dZ_r, dZ)
+            ds_ = jnp.where(r, ds_r, ds) if n_in else ds
+            return trial(alpha, dZ_, ds_)
+
+        phis_bt, thetas_bt = jax.vmap(trial_dir)(alphas_all, is_rest)
+        accepts_bt = (
+            jax.vmap(acceptable)(alphas_all, phis_bt, thetas_bt)[0] & ~is_rest
+        )
         bt_ok = jnp.any(accepts_bt)
         first_idx = jnp.argmax(accepts_bt)
-        alpha_bt = alphas_bt[first_idx]
+        alpha_bt = alphas_all[first_idx]
+        theta_bt = thetas_bt[first_idx]
         alpha_min = a_pri * (0.5**opt.max_ls)
+
+        # θ-only sufficient decrease for restoration trials (Armijo on the
+        # feasibility measure, slope scaled by the relative step size)
+        rel_a = alphas_all / jnp.maximum(a_r, 1e-30)
+        accepts_r = (
+            is_rest
+            & (thetas_bt <= (1.0 - opt.rest_theta_factor * rel_a) * theta0)
+            & jnp.isfinite(thetas_bt)
+            & (theta0 > 10.0 * opt.tol)
+        )
+        rest_ok = jnp.any(accepts_r)
+        rest_idx = jnp.argmax(accepts_r)
+        alpha_rest = alphas_all[rest_idx]
+        theta_rest = thetas_bt[rest_idx]
+        use_rest = (~acc_1) & (~use_soc) & (~bt_ok) & rest_ok
 
         alpha = jnp.where(
             acc_1,
             a_pri,
-            jnp.where(use_soc, a_soc, jnp.where(bt_ok, alpha_bt, alpha_min)),
+            jnp.where(
+                use_soc,
+                a_soc,
+                jnp.where(
+                    bt_ok, alpha_bt, jnp.where(rest_ok, alpha_rest, alpha_min)
+                ),
+            ),
         )
-        step_dZ = jnp.where(use_soc, dZ_soc, dZ)
-        step_ds = jnp.where(use_soc, ds_soc, ds) if n_in else ds
-        step_lam_plus = jnp.where(use_soc, lam_soc, lam_plus)
+        step_dZ = jnp.where(use_soc, dZ_soc, jnp.where(use_rest, dZ_r, dZ))
+        step_ds = (
+            jnp.where(use_soc, ds_soc, jnp.where(use_rest, ds_r, ds))
+            if n_in
+            else ds
+        )
+        # restoration steps leave the equality duals untouched
+        step_lam_plus = jnp.where(
+            use_rest, lam, jnp.where(use_soc, lam_soc, lam_plus)
+        )
         f_type_step = jnp.where(acc_1, ftype_1, jnp.where(use_soc, ftype_s, False))
 
-        # freeze the step entirely once converged (this pass only records it)
+        # freeze the step entirely once converged (this pass only records it);
+        # restoration steps also freeze the bound/inequality duals
         alpha = jnp.where(stop_now, 0.0, alpha)
-        a_dual = jnp.where(stop_now, 0.0, a_dual)
+        a_dual = jnp.where(stop_now | use_rest, 0.0, a_dual)
 
         # ---- update ------------------------------------------------------- #
         Z_new = nlp.apply_pins(Z + alpha * step_dZ)
@@ -551,12 +627,77 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
                 nu_new, mu / (opt.kappa_sigma * s_new), opt.kappa_sigma * mu / s_new
             )
 
-        # ---- filter augmentation (on non-f-type acceptance) --------------- #
+        # ---- filter augmentation (on non-f-type acceptance); a restoration
+        # step instead clears the filter — its entries described a barrier
+        # landscape the feasibility move just left ------------------------- #
         slot = filter_n % _FILTER_SIZE
-        augment = (~f_type_step) & (~stop_now)
+        augment = (~f_type_step) & (~stop_now) & (~use_rest)
         filter_th = jnp.where(augment, filter_th.at[slot].set(theta0), filter_th)
         filter_ph = jnp.where(augment, filter_ph.at[slot].set(phi0), filter_ph)
         filter_n = filter_n + jnp.where(augment, 1, 0)
+        filter_th = jnp.where(use_rest, jnp.inf, filter_th)
+        filter_ph = jnp.where(use_rest, jnp.inf, filter_ph)
+        filter_n = jnp.where(use_rest, 0, filter_n)
+
+        # ---- local-infeasibility certificate ------------------------------ #
+        # Fires when (a) restoration itself stalls for `infeasibility_iter`
+        # consecutive attempts while θ is persistently large, and (b) the
+        # feasibility problem is first-order stationary: the bound-projected
+        # gradient of ½‖c‖² is small relative to θ (a coordinate blocked at
+        # its bound contributes min(g, dist-to-bound), so bound-trapped
+        # infeasibility is certified too). This is the analog of Ipopt's
+        # restoration-phase convergence-to-infeasible-point exit.
+        if n_eq or n_in:
+            g_feas = free * ctx.JeT(c_e)
+            if n_in:
+                g_feas = g_feas + free * ctx.JiT(c_i + s)
+            g_proj = jnp.where(
+                (g_feas > 0) & mask_L,
+                jnp.minimum(g_feas, dL),
+                jnp.where(
+                    (g_feas < 0) & mask_U, jnp.maximum(g_feas, -dU), g_feas
+                ),
+            )
+            feas_stationary = jnp.max(jnp.abs(g_proj), initial=0.0) <= (
+                opt.inf_du_tol * jnp.maximum(1.0, theta0)
+            )
+        else:
+            feas_stationary = jnp.asarray(False)
+        theta_sel = jnp.where(
+            acc_1,
+            theta_1,
+            jnp.where(
+                use_soc,
+                theta_s,
+                jnp.where(
+                    bt_ok, theta_bt, jnp.where(rest_ok, theta_rest, theta0)
+                ),
+            ),
+        )
+        # a stall is any iteration where the filter search collapsed (all
+        # main-direction trials rejected) and neither the restoration trial
+        # nor the α_min fallback moved θ meaningfully — including the case
+        # where restoration itself was rejected because no θ decrease exists
+        ls_collapse = (~acc_1) & (~use_soc) & (~bt_ok) & (~stop_now)
+        stalled = ls_collapse & (theta_sel > opt.rest_stall_kappa * theta0)
+        made_progress = theta_sel <= 0.9 * theta0
+        stall_count = jnp.where(
+            stalled,
+            st.stall_count + 1,
+            jnp.where(made_progress, 0, st.stall_count),
+        )
+        theta_big = theta0 > jnp.maximum(opt.constr_viol_tol, 10.0 * opt.tol)
+        infeasible = st.infeasible | (
+            (stall_count >= options.infeasibility_iter)
+            & theta_big
+            & feas_stationary
+        )
+        # restoration persistently stalled without the stationarity
+        # certificate (e.g. θ trapped by barrier curvature): give up early
+        # with a diagnosable status instead of burning the iteration budget
+        rest_failed = st.rest_failed | (
+            (stall_count >= 2 * options.infeasibility_iter) & theta_big
+        )
 
         if options.print_level >= 5:
             jax.debug.print(
@@ -620,6 +761,9 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
             filter_ph=filter_ph,
             filter_n=filter_n,
             delta_w_last=jnp.where(delta_fin > 0, delta_fin, st.delta_w_last),
+            stall_count=stall_count,
+            infeasible=infeasible,
+            rest_failed=rest_failed,
             iter=st.iter + jnp.where(stop_now, 0, 1),
             converged=conv_now,
             acc_count=acc_count,
@@ -639,6 +783,8 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
         return (
             (~st.converged)
             & (~st.stopped)
+            & (~st.infeasible)
+            & (~st.rest_failed)
             & (st.acc_count < options.acceptable_iter)
             & (st.iter < options.max_iter)
         )
@@ -649,7 +795,19 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
     opt_hit = final.best_kkt <= opt.tol
     acc_hit = final.best_kkt <= opt.acceptable_tol
     status = jnp.where(
-        opt_hit, 0, jnp.where(acc_hit, 1, jnp.where(final.stopped, 3, 2))
+        opt_hit,
+        0,
+        jnp.where(
+            acc_hit,
+            1,
+            jnp.where(
+                final.infeasible,
+                4,
+                jnp.where(
+                    final.rest_failed, 5, jnp.where(final.stopped, 3, 2)
+                ),
+            ),
+        ),
     )
     return IPMResult(
         Z=final.best_kkt_Z,

@@ -48,6 +48,18 @@ class IPMOptions:
     rho_init: float = 1.0  # initial ℓ1 penalty
     theta_rho: float = 0.5
     max_ls: int = static_field(default=10)
+    # -- restoration (feasibility fallback folded into the trial grid) ------ #
+    # When the filter line search rejects every candidate, the deepest
+    # `n_rest_trials` grid slots are re-purposed as trials of a pure
+    # feasibility direction (min ½dzᵀ(W+Σ)dz s.t. J dz = −c, reusing the
+    # iteration's KKT factorization) accepted on θ-decrease alone — the
+    # TPU-shaped analog of Ipopt's restoration phase (which the reference
+    # inherits via MOI, `src/solvers/ipopt_solver/callbacks.jl:194-200`).
+    rest_theta_factor: float = 0.05  # θ sufficient-decrease slope at full step
+    rest_stall_kappa: float = 0.95  # θ ratio counting a restoration step as stalled
+    inf_du_tol: float = 1e-4  # feasibility-gradient scale in the infeasibility test
+    infeasibility_iter: int = static_field(default=5)
+    n_rest_trials: int = static_field(default=3)
     # -- inertia regularization ------------------------------------------- #
     delta_w_init: float = 1e-8
     delta_w_max: float = 1e10

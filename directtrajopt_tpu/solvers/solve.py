@@ -76,7 +76,8 @@ class SolveResult(NamedTuple):
     problem: DirectTrajOptProblem  # with solution written into the trajectory
     iterations: jax.Array
     converged: jax.Array
-    status: jax.Array  # 0=optimal, 1=acceptable, 2=iteration limit
+    status: jax.Array  # 0=optimal, 1=acceptable, 2=iteration limit,
+    # 3=callback stop, 4=locally infeasible, 5=restoration failed
     kkt_error: jax.Array
     objective: jax.Array
     ipm: IPMResult
