@@ -164,10 +164,36 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
     theta_init = jnp.sum(jnp.abs(nlp.c_eq(Z_init))) + jnp.sum(
         jnp.abs(nlp.c_in(Z_init) + s_init)
     )
+
+    # least-squares equality-multiplier initialization (Ipopt §3.6 / its
+    # constr_mult_init_max guard): one extra KKT solve at the start point
+    # gives λ₀ = argmin-ish ‖∇f + Jᵀλ‖, so the first Lagrangian Hessian is
+    # built from meaningful curvature instead of λ=0
+    lam0 = jnp.zeros((n_eq,), dtype=dtype)
+    if options.dual_init == "least_squares" and n_eq:
+        ctx0 = ops.prepare(Z_init, lam0, nu0)
+        SigL0 = jnp.where(mask_L, zL0 / dL0, 0.0)
+        SigU0 = jnp.where(mask_U, zU0 / dU0, 0.0)
+        Sig0 = (SigL0 + SigU0) * free
+        D0 = nu0 / s_init if n_in else jnp.zeros((0,), dtype=dtype)
+        g0 = free * ctx0.grad_f
+        _, lam_ls, ok0, _, _ = ctx0.kkt_step(
+            Sig0,
+            D0,
+            g0,
+            jnp.zeros_like(ctx0.c_e),
+            jnp.zeros((), dtype=dtype),
+            opt,
+        )
+        good = ok0 & (
+            jnp.max(jnp.abs(lam_ls), initial=0.0) <= opt.lam_init_max
+        )
+        lam0 = jnp.where(good, lam_ls, 0.0)
+
     state0 = IPMState(
         Z=Z_init,
         s=s_init,
-        lam=jnp.zeros((n_eq,), dtype=dtype),
+        lam=lam0,
         nu=nu0,
         zL=zL0,
         zU=zU0,

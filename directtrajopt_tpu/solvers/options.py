@@ -40,6 +40,17 @@ class IPMOptions:
     kappa_epsilon: float = 10.0  # inner-loop tolerance κ_ε·μ
     tau_min: float = 0.99  # fraction-to-boundary
     kappa_sigma: float = 1e10  # dual safeguard clamp
+    # "least_squares": initialize equality multipliers from one extra KKT
+    # solve at the start point (min ‖∇f + Jᵀλ‖ in the (W+Σ)⁻¹ metric),
+    # discarded when ‖λ‖∞ > lam_init_max — Ipopt's
+    # constr_mult_init_max/least-square-duals behavior. "zero": λ₀ = 0.
+    # Measured on the N=51 bilinear benchmark family (B=64, f64, tol 1e-8):
+    # least_squares HALVES the convergence rate (18/64 vs 36/64 at
+    # max_iter=200) — even small λ₀ feeds the indefinite bilinear dynamics
+    # Hessian into early iterations and triggers heavy δ_w regularization.
+    # Like the adaptive-μ experiments, it stays available but off.
+    dual_init: str = static_field(default="zero")
+    lam_init_max: float = 1e3
     bound_push: float = 1e-2  # κ₁: push initial point inside bounds
     bound_frac: float = 1e-2  # κ₂
     slack_min: float = 1e-8
