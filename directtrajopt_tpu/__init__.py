@@ -65,6 +65,8 @@ from .solvers import (
     get_default_options,
     set_default_options,
     solve_jit,
+    solve_polished,
+    cast_problem,
 )
 from .trajectory import Layout, Trajectory, traj_index, traj_slice
 from .utils.mpc import mpc_step, shift_trajectory

@@ -69,7 +69,16 @@ def expm_pade(A: jax.Array, squarings: int = 4) -> jax.Array:
         + b[0] * eye
     )
     # r = (V - U)^{-1} (V + U)
-    R = jnp.linalg.solve(V - U, V + U)
+    M = V - U
+    if A.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        # TPU XLA implements LU only for f32/c64; f64 runs (emulated) for
+        # matmul/Cholesky. M is near b₀·I after scaling (‖A/2^s‖ ≲ 1), so the
+        # normal-equations Cholesky is benign despite squaring the condition.
+        G = M.T @ M
+        L = jnp.linalg.cholesky(G)
+        R = jax.scipy.linalg.cho_solve((L, True), M.T @ (V + U))
+    else:
+        R = jnp.linalg.solve(M, V + U)
     for _ in range(squarings):
         R = R @ R
     return R

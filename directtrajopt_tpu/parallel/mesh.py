@@ -95,7 +95,7 @@ def solve_batch_sharded(
     options = _merge_options(options, kwargs)
     mesh = mesh or make_mesh(axis_name=axis_name)
     batch = shard_batch(batch, mesh, axis_name)
-    return _batched_solver(backend)(batch, options)
+    return _batched_solver(backend)(batch, options, None)
 
 
 def weak_scaling(

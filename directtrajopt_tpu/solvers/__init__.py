@@ -16,6 +16,8 @@ from .solve import (
     solve,
     solve_batch,
     solve_jit,
+    solve_polished,
+    cast_problem,
 )
 
 __all__ = [
@@ -37,4 +39,6 @@ __all__ = [
     "get_default_options",
     "set_default_options",
     "solve_jit",
+    "solve_polished",
+    "cast_problem",
 ]

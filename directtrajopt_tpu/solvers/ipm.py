@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from .canonical import CanonicalNLP
 from .options import IPMOptions
 
-__all__ = ["IPMState", "IPMResult", "ipm_solve"]
+__all__ = ["IPMState", "IPMResult", "WarmStart", "ipm_solve"]
 
 _BIG = 1e20
 _FILTER_SIZE = 64
@@ -72,10 +72,25 @@ class IPMState(NamedTuple):
     best_kkt: jax.Array  # lowest μ=0 KKT error seen along the run
     best_kkt_Z: jax.Array  # the iterate that achieved it
     best_kkt_obj: jax.Array
+    best_kkt_warm: "WarmStart"  # its slacks/duals (matched pair for warm starts)
     history_Z: jax.Array  # (K, z_dim) iterate ring buffer (K may be 0)
     hist_n: jax.Array
     best_score: jax.Array
     best_Z: jax.Array
+
+
+class WarmStart(NamedTuple):
+    """Slacks and duals carried from a previous solve of the same problem
+    structure (the primal travels in the trajectory itself). Used by
+    :func:`directtrajopt_tpu.solvers.solve.solve_polished` to hand the f32
+    phase's multipliers to the f64 polish — restarting duals from the barrier
+    initialization throws away exactly the information a warm start needs."""
+
+    s: jax.Array
+    lam: jax.Array
+    nu: jax.Array
+    zL: jax.Array
+    zU: jax.Array
 
 
 class IPMResult(NamedTuple):
@@ -102,11 +117,17 @@ def ipm_solve(
     options: IPMOptions,
     ops=None,
     callbacks=None,
+    warm: "WarmStart | None" = None,
 ) -> IPMResult:
     """Run the interior-point method from ``Z0`` (one instance; vmap outside).
 
     ``callbacks``: an optional :class:`IPMCallbacks` with host monitoring,
     device stop conditions, iterate history, and best-snapshot tracking.
+    ``warm``: optional :class:`WarmStart` carrying slacks and duals from a
+    previous solve (e.g. the f32 phase of :func:`solve_polished`) — without
+    it duals restart from the barrier initialization and the first iterations
+    re-derive them, which from a near-optimal point wanders off before
+    reconverging.
     """
     # TPU XLA lowers f32 matmuls to bf16 MXU passes by default (~2⁻⁸ relative
     # error), which poisons the KKT factorization — the measured effect is a
@@ -118,10 +139,10 @@ def ipm_solve(
 
     prec = os.environ.get("DTX_MATMUL_PRECISION", "highest")
     with jax.default_matmul_precision(prec):
-        return _ipm_solve_inner(nlp, Z0, options, ops, callbacks)
+        return _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm)
 
 
-def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
+def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
     cb = callbacks
     hist_k = cb.history_size if cb else 0
     if ops is None:
@@ -161,6 +182,14 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
     zU0 = jnp.where(mask_U, mu0 / dU0, 0.0)
     nu0 = mu0 / s_init
 
+    if warm is not None:
+        # carried-over slacks/duals (clipped into the cone; the κ_Σ clamp
+        # re-centers them against μ after the first step)
+        s_init = jnp.maximum(warm.s.astype(dtype), opt.slack_min)
+        nu0 = jnp.maximum(warm.nu.astype(dtype), opt.slack_min)
+        zL0 = jnp.where(mask_L, jnp.maximum(warm.zL.astype(dtype), opt.slack_min), 0.0)
+        zU0 = jnp.where(mask_U, jnp.maximum(warm.zU.astype(dtype), opt.slack_min), 0.0)
+
     theta_init = jnp.sum(jnp.abs(nlp.c_eq(Z_init))) + jnp.sum(
         jnp.abs(nlp.c_in(Z_init) + s_init)
     )
@@ -170,7 +199,9 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
     # gives λ₀ = argmin-ish ‖∇f + Jᵀλ‖, so the first Lagrangian Hessian is
     # built from meaningful curvature instead of λ=0
     lam0 = jnp.zeros((n_eq,), dtype=dtype)
-    if options.dual_init == "least_squares" and n_eq:
+    if warm is not None:
+        lam0 = warm.lam.astype(dtype)
+    elif options.dual_init == "least_squares" and n_eq:
         ctx0 = ops.prepare(Z_init, lam0, nu0)
         SigL0 = jnp.where(mask_L, zL0 / dL0, 0.0)
         SigU0 = jnp.where(mask_U, zU0 / dU0, 0.0)
@@ -216,6 +247,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
         best_kkt=jnp.asarray(_BIG, dtype=dtype),
         best_kkt_Z=Z_init,
         best_kkt_obj=nlp.objective(Z_init),
+        best_kkt_warm=WarmStart(s=s_init, lam=lam0, nu=nu0, zL=zL0, zU=zU0),
         history_Z=jnp.zeros((hist_k, z_dim), dtype=dtype),
         hist_n=jnp.zeros((), dtype=jnp.int32),
         best_score=jnp.asarray(-jnp.inf, dtype=dtype),
@@ -292,6 +324,11 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
         best_kkt = jnp.where(improved, e_0, st.best_kkt)
         best_kkt_Z = jnp.where(improved, Z, st.best_kkt_Z)
         best_kkt_obj = jnp.where(improved, st.obj, st.best_kkt_obj)
+        best_kkt_warm = jax.tree.map(
+            lambda new, old: jnp.where(improved, new, old),
+            WarmStart(s=s, lam=lam, nu=nu, zL=zL, zU=zU),
+            st.best_kkt_warm,
+        )
 
         # ---- barrier update (+ filter reset, Ipopt A-5.4) ----------------- #
         if options.mu_strategy == "mehrotra":
@@ -713,16 +750,24 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
             jnp.where(made_progress, 0, st.stall_count),
         )
         theta_big = theta0 > jnp.maximum(opt.constr_viol_tol, 10.0 * opt.tol)
+        # near the optimum the feasibility gradient is O(θ)·‖J‖, so the
+        # stationarity test is trivially true at any near-feasible point and
+        # grinding line searches there would certify a *nearly converged*
+        # iterate as infeasible — require genuine KKT distance too
+        far_from_opt = e_0 > 1e2 * jnp.maximum(opt.acceptable_tol, opt.tol)
         infeasible = st.infeasible | (
             (stall_count >= options.infeasibility_iter)
             & theta_big
             & feas_stationary
+            & far_from_opt
         )
         # restoration persistently stalled without the stationarity
         # certificate (e.g. θ trapped by barrier curvature): give up early
         # with a diagnosable status instead of burning the iteration budget
         rest_failed = st.rest_failed | (
-            (stall_count >= 2 * options.infeasibility_iter) & theta_big
+            (stall_count >= 2 * options.infeasibility_iter)
+            & theta_big
+            & far_from_opt
         )
 
         if options.print_level >= 5:
@@ -799,6 +844,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks) -> IPMResult:
             best_kkt=best_kkt,
             best_kkt_Z=best_kkt_Z,
             best_kkt_obj=best_kkt_obj,
+            best_kkt_warm=best_kkt_warm,
             history_Z=history_Z,
             hist_n=hist_n,
             best_score=best_score,

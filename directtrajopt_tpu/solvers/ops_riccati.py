@@ -930,7 +930,9 @@ class RiccatiOps:
             raise ValueError("problem is not Riccati-eligible")
         self.nlp = nlp
         self.struct = struct
-        self.pallas_mode = pallas_mode
+        import os
+
+        self.pallas_mode = os.environ.get("DTX_PALLAS", pallas_mode)
 
     def prepare(self, Z, lam, nu) -> _RiccatiCtx:
         return _RiccatiCtx(self.nlp, self.struct, Z, lam, nu, self.pallas_mode)

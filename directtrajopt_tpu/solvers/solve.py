@@ -29,6 +29,8 @@ __all__ = [
     "solve",
     "solve_batch",
     "solve_jit",
+    "solve_polished",
+    "cast_problem",
     "remove_slack_variables",
     "get_default_options",
     "set_default_options",
@@ -111,10 +113,13 @@ def _solve_impl(
     options: IPMOptions,
     backend: str = "auto",
     callbacks=None,
+    warm=None,
 ) -> SolveResult:
     nlp = make_nlp(problem)
     Z0 = problem.trajectory.to_zvec()
-    res = ipm_solve(nlp, Z0, options, ops=_make_ops(nlp, backend), callbacks=callbacks)
+    res = ipm_solve(
+        nlp, Z0, options, ops=_make_ops(nlp, backend), callbacks=callbacks, warm=warm
+    )
     new_traj = problem.trajectory.from_zvec(res.Z)
     new_prob = problem.replace(trajectory=new_traj)
     return SolveResult(
@@ -134,6 +139,7 @@ def solve(
     *,
     backend: str = "auto",
     callbacks=None,
+    warm=None,
     **kwargs: Any,
 ) -> SolveResult:
     """Solve a problem (eager). Keyword args override option fields, mirroring
@@ -142,15 +148,17 @@ def solve(
 
     ``backend``: "auto" (Riccati when the problem is an explicit OCP, dense
     otherwise), "riccati", or "dense". ``callbacks``: an IPMCallbacks bundle
-    (host monitoring / early stop / history / best tracking).
+    (host monitoring / early stop / history / best tracking). ``warm``: a
+    :class:`WarmStart` of slacks/duals from a previous solve (the primal warm
+    start is the trajectory itself).
     """
     options = _merge_options(options, kwargs)
-    return _solve_impl(problem, options, backend, callbacks)
+    return _solve_impl(problem, options, backend, callbacks, warm)
 
 
 @partial(jax.jit, static_argnames=("backend", "callbacks"))
-def _solve_jitted(problem, options, backend, callbacks):
-    return _solve_impl(problem, options, backend, callbacks)
+def _solve_jitted(problem, options, backend, callbacks, warm=None):
+    return _solve_impl(problem, options, backend, callbacks, warm)
 
 
 def solve_jit(
@@ -159,11 +167,12 @@ def solve_jit(
     *,
     backend: str = "auto",
     callbacks=None,
+    warm=None,
     **kwargs: Any,
 ) -> SolveResult:
     """Jitted solve — compiled once per problem structure."""
     options = _merge_options(options, kwargs)
-    return _solve_jitted(problem, options, backend, callbacks)
+    return _solve_jitted(problem, options, backend, callbacks, warm)
 
 
 from functools import lru_cache
@@ -175,8 +184,10 @@ def _batched_solver(backend: str, callbacks=None):
     # (rebuilding the jit wrapper per call would re-trace the whole IPM graph)
     return jax.jit(
         jax.vmap(
-            partial(_solve_impl, backend=backend, callbacks=callbacks),
-            in_axes=(0, None),
+            lambda problem, options, warm: _solve_impl(
+                problem, options, backend, callbacks, warm
+            ),
+            in_axes=(0, None, 0),
         )
     )
 
@@ -187,15 +198,94 @@ def solve_batch(
     *,
     backend: str = "auto",
     callbacks=None,
+    warm=None,
     **kwargs: Any,
 ) -> SolveResult:
     """Solve a stacked batch of problems (leading batch axis on every leaf).
 
     All instances must share the same static structure; they may differ in any
     numeric data (initial states, goals, dynamics parameters, weights...).
+    ``warm``: an optional batched :class:`WarmStart` (leading batch axis).
     """
     options = _merge_options(options, kwargs)
-    return _batched_solver(backend, callbacks)(problems, options)
+    return _batched_solver(backend, callbacks)(problems, options, warm)
+
+
+def cast_problem(problem: DirectTrajOptProblem, dtype) -> DirectTrajOptProblem:
+    """Cast every floating-point leaf of a problem pytree to ``dtype``
+    (integer index arrays and static structure are untouched)."""
+
+    def cast(x):
+        a = jnp.asarray(x)
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            return a.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, problem)
+
+
+def solve_polished(
+    problem: DirectTrajOptProblem,
+    options: IPMOptions | None = None,
+    *,
+    polish_tol: float = 1e-8,
+    polish_max_iter: int = 250,
+    polish_mu_init: float = 1e-5,
+    backend: str = "auto",
+    callbacks=None,
+    **kwargs: Any,
+) -> SolveResult:
+    """Mixed-precision solve: native-dtype solve, then an f64 polish.
+
+    TPUs run the throughput path in f32 (MXU-native); the f32 KKT floor is
+    ~1e-4 — short of Ipopt-grade tolerances (the reference runs Ipopt at
+    tol=1e-8, `/root/reference/src/solvers/ipopt_solver/options.jl:34-39`).
+    TPU XLA *does* compile f64 for everything this solver's XLA path uses
+    (matmul/Cholesky/triangular-solve are software-emulated; only LU is
+    missing, and the IPM has none), so the fix is a two-phase solve: run the
+    fast f32 IPM to its floor, then warm-start a short f64 IPM from that
+    solution (the trajectory is the checkpoint) **with the f32 slacks and
+    multipliers carried over** — restarting duals would wander off the warm
+    point before reconverging (the mismatched pair shows up as an O(1e-3)
+    spurious dual residual).
+
+    Honest caveat, measured on the N=51 bilinear golden fixture: on flat
+    nonconvex landscapes the f32 phase's floor (~1e-4 KKT) is *outside* the
+    Newton basin, so the polish is a real optimization tail (~200 iterations
+    to tol=1e-8, converging to the golden solution exactly), not a
+    10-iteration endgame — warm-starting interior-point methods buys
+    little there. Its value is (a) Ipopt-grade certified output from any
+    f32 throughput run, and (b) batched: the f32 phase prunes at full MXU
+    speed and only the f64 tail pays emulation cost.
+
+    Requires ``jax.config.update("jax_enable_x64", True)``.
+    """
+    from .ipm import WarmStart
+
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "solve_polished needs the f64 polish phase: enable it with "
+            'jax.config.update("jax_enable_x64", True) before tracing'
+        )
+    first = solve_jit(problem, options, backend=backend, callbacks=callbacks, **kwargs)
+    prob64 = cast_problem(first.problem, jnp.float64)
+    # the trajectory carries best_kkt_Z, so take that iterate's duals — the
+    # final state's duals belong to a different point and the mismatch shows
+    # up as an O(1e-3) spurious dual residual at the warm start
+    warm = jax.tree.map(
+        lambda x: x.astype(jnp.float64), first.ipm.state.best_kkt_warm
+    )
+    opts64 = _merge_options(options, dict(kwargs)).replace(
+        tol=polish_tol,
+        acceptable_tol=polish_tol,
+        max_iter=polish_max_iter,
+        mu_init=polish_mu_init,
+        # keep the warm primal: the default κ₁/κ₂ push would move it 1e-2
+        # inside the bounds, destroying the start the f32 phase paid for
+        bound_push=1e-9,
+        bound_frac=1e-9,
+    )
+    return solve_jit(prob64, opts64, backend=backend, callbacks=callbacks, warm=warm)
 
 
 def _merge_options(options: IPMOptions | None, kwargs: dict) -> IPMOptions:

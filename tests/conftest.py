@@ -22,3 +22,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the dominant suite cost is XLA-compiling the
+# IPM while_loop graph per (structure, dtype) — identical across runs and
+# across xdist workers. With the cache warm the suite is minutes faster; run
+# `python -m pytest tests/ -n 4` to split cold compiles over cores.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -87,3 +87,29 @@ def test_matches_golden(path):
     nlp = make_nlp(prob)
     f_ours = float(nlp.objective(jax.numpy.asarray(Z)))
     assert abs(f_ours - float(meta["obj"])) < 1e-6 * max(1.0, abs(float(meta["obj"])))
+
+
+def test_polished_f32_matches_golden():
+    """The mixed-precision path (f32 throughput solve + warm-started f64
+    polish, `solve_polished`) reaches the golden N=51 solution from an f32
+    first phase — the on-chip recipe for the reference's Ipopt-grade
+    tolerances (tol=1e-8, `src/solvers/ipopt_solver/options.jl:34-39`)."""
+    import jax.numpy as jnp
+
+    from directtrajopt_tpu.solvers.solve import cast_problem, solve_polished
+
+    data = np.load(os.path.join(GOLDEN_DIR, "bilinear_n51_seed42.npz"))
+    meta = {k: data[k] for k in data.files}
+    prob = cast_problem(_rebuild(meta), jnp.float32)
+    layout = prob.trajectory.layout
+
+    res = solve_polished(
+        prob, tol=1e-6, acceptable_tol=1e-6, acceptable_iter=100,
+        max_iter=150, mu_init=3e-2,
+    )
+    assert bool(res.converged)
+    assert float(res.kkt_error) <= 1e-7
+    Z = np.asarray(res.problem.trajectory.to_zvec(), dtype=np.float64)
+    assert Z.dtype == np.float64
+    rms = _component_rms(layout, Z, np.asarray(meta["Z_star"]), "u")
+    assert rms < 1e-4, rms
