@@ -31,7 +31,17 @@ def take_batch(tree, idx):
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: the batched-IPM XLA program is identical
+    # across runs; a warm cache removes minutes of (tunnel) compile time
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import directtrajopt_tpu as dtx  # noqa: F401
     from directtrajopt_tpu.benchmarks import make_batched_bilinear_problems

@@ -65,12 +65,21 @@ class LinearCanon:
         self.ub_idx.append(idx)
         self.ub_val.append(jnp.asarray(ub, dtype=float).reshape(-1))
 
+    @staticmethod
+    def _vals(vals):
+        # keep statically-known coefficients as numpy: the Riccati backend's
+        # chain-promotion analysis (in-core elimination) can only read static
+        # values, and np arrays stay static under jit tracing
+        if isinstance(vals, np.ndarray):
+            return vals.astype(float).reshape(-1)
+        return jnp.asarray(vals, dtype=float).reshape(-1)
+
     def add_eq_rows(self, rows, cols, vals, rhs, n_rows: int) -> None:
         self.eq_rows.append(
             (
                 np.asarray(rows, dtype=np.int64),
                 np.asarray(cols, dtype=np.int64),
-                jnp.asarray(vals, dtype=float).reshape(-1),
+                self._vals(vals),
                 jnp.asarray(rhs, dtype=float).reshape(-1),
                 int(n_rows),
             )
@@ -81,7 +90,7 @@ class LinearCanon:
             (
                 np.asarray(rows, dtype=np.int64),
                 np.asarray(cols, dtype=np.int64),
-                jnp.asarray(vals, dtype=float).reshape(-1),
+                self._vals(vals),
                 jnp.asarray(rhs, dtype=float).reshape(-1),
                 int(n_rows),
             )

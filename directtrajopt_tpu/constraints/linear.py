@@ -231,13 +231,17 @@ class AllEqualConstraint(LinearConstraintBase):
         name = _resolve_timestep_name(layout, self.name)
         comp = layout.comp_slice(name).start + self.component_index
         N, dim = layout.N, layout.dim
-        anchor = (N - 1) * dim + comp
+        # adjacent-pair form v_{k+1} − v_k = 0 (equivalent to the reference's
+        # anchor-to-last form, `src/solvers/constrain.jl:158-184`, but
+        # chain-shaped: the Riccati backend promotes it into the core instead
+        # of paying N−1 border sweeps)
         n_rows = N - 1
         rows = np.repeat(np.arange(n_rows), 2)
         cols = np.stack(
-            [np.arange(N - 1) * dim + comp, np.full(N - 1, anchor)], axis=1
+            [(np.arange(N - 1) + 1) * dim + comp, np.arange(N - 1) * dim + comp],
+            axis=1,
         ).reshape(-1)
-        vals = jnp.tile(jnp.asarray([1.0, -1.0]), n_rows)
+        vals = np.tile(np.asarray([1.0, -1.0]), n_rows)
         canon.add_eq_rows(rows, cols, vals, jnp.zeros(n_rows), n_rows)
 
 
@@ -369,7 +373,7 @@ class TimeConsistencyConstraint(LinearConstraintBase):
             ],
             axis=1,
         ).reshape(-1)
-        vals = jnp.tile(jnp.asarray([1.0, -1.0, -1.0]), n_rows)
+        vals = np.tile(np.asarray([1.0, -1.0, -1.0]), n_rows)
         canon.add_eq_rows(rows, cols, vals, jnp.zeros(n_rows), n_rows)
 
 

@@ -97,9 +97,10 @@ def test_all_equal_constraint():
     A, b = dense_rows(canon, traj.layout.z_dim)
     assert A.shape[0] == traj.N - 1
     Z = np.asarray(traj.to_zvec())
-    # residual = u_k - u_{N-1}
+    # residual = u_{k+1} - u_k (adjacent chain form — equivalent to the
+    # reference's anchor form, and promotable into the Riccati core)
     u = np.asarray(traj.data["u"][:, 0])
-    np.testing.assert_allclose(A @ Z - b, u[:-1] - u[-1], atol=1e-12)
+    np.testing.assert_allclose(A @ Z - b, u[1:] - u[:-1], atol=1e-12)
 
 
 def test_duration_constraint():
