@@ -550,7 +550,23 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         else:
             ci_soc = jnp.zeros((0,), dtype=dtype)
             g_soc = jnp.zeros((z_dim,), dtype=dtype)
-        dZ_soc, lam_soc = resolve(-g_hat - g_soc, -c_soc)
+        n_rest = options.n_rest_trials if (n_eq or n_in) else 0
+        if n_rest:
+            # fuse the SOC and restoration solves into ONE multi-RHS pass
+            # over the stored factorization (the sweep streams the stage
+            # factors once for both right-hand sides)
+            g_rest = (
+                free * ctx.JiT(D * (c_i + s))
+                if n_in
+                else jnp.zeros((z_dim,), dtype=dtype)
+            )
+            rz2 = jnp.stack([-g_hat - g_soc, -g_rest])
+            rc2 = jnp.stack([-c_soc, -c_e])
+            dZ2, lam2 = resolve.many(rz2, rc2)
+            dZ_soc, lam_soc = dZ2[0], lam2[0]
+            dZ_r = dZ2[1]
+        else:
+            dZ_soc, lam_soc = resolve(-g_hat - g_soc, -c_soc)
         ds_soc = -(ci_soc) - ctx.Ji(dZ_soc) if n_in else jnp.zeros((0,), dtype=dtype)
         a_soc = max_primal_step(dZ_soc, ds_soc)
         phi_s, theta_s = trial(a_soc, dZ_soc, ds_soc)
@@ -558,21 +574,13 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         use_soc = (~acc_1) & (theta_1 > theta0) & acc_s
 
         # restoration direction: pure feasibility step in the Lagrangian
-        # metric (min ½dzᵀ(W+Σ)dz s.t. J dz = −c), reusing the iteration's
-        # factorization. The TPU-shaped analog of Ipopt's restoration phase:
-        # instead of a nested feasibility NLP (data-dependent control flow a
-        # lockstep batch cannot afford), the deepest line-search grid slots
-        # trial this direction with a θ-only acceptance — same trial count,
-        # so restoration costs one extra `resolve` per iteration and nothing
-        # else.
-        n_rest = options.n_rest_trials if (n_eq or n_in) else 0
+        # metric (min ½dzᵀ(W+Σ)dz s.t. J dz = −c), solved above in the same
+        # multi-RHS pass as the SOC. The TPU-shaped analog of Ipopt's
+        # restoration phase: instead of a nested feasibility NLP
+        # (data-dependent control flow a lockstep batch cannot afford), the
+        # deepest line-search grid slots trial this direction with a θ-only
+        # acceptance — same trial count, no extra factorization.
         if n_rest:
-            g_rest = (
-                free * ctx.JiT(D * (c_i + s))
-                if n_in
-                else jnp.zeros((z_dim,), dtype=dtype)
-            )
-            dZ_r, _ = resolve(-g_rest, -c_e)
             ds_r = (
                 -(c_i + s) - ctx.Ji(dZ_r) if n_in else jnp.zeros((0,), dtype=dtype)
             )

@@ -144,6 +144,9 @@ class _DenseCtx:
                     dZ, lam = dZ + ddz, lam + dlp
                 return dZ, lam
 
+        # stacked variant: the factorization is shared, matmuls broadcast
+        resolve.many = jax.vmap(resolve)
+
         dZ, lam_plus = resolve(-g_hat, rhs_c)
         ok = ok & jnp.all(jnp.isfinite(dZ)) & jnp.all(jnp.isfinite(lam_plus))
         return dZ, lam_plus, ok, delta, resolve

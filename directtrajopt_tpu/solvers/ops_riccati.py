@@ -1010,6 +1010,45 @@ class _RiccatiCtx:
                 pack_lam(lam_stack, lam_c),
             )
 
+        def resolve_many(rhs_z_stack, rhs_c_stack):
+            """Solve R extra systems against the stored factorization in ONE
+            fused sweep. The sweep streams the stage factors (P, Lv, Kg, Mvs)
+            from memory once for all R right-hand sides — SOC + restoration
+            share a single pass instead of paying factor bandwidth twice."""
+            R = rhs_z_stack.shape[0]
+            rhs_z_blks = jax.vmap(
+                lambda rz, rc: _rho_adjust(rz[: N * d].reshape(N, d), rc)
+            )(rhs_z_stack, rhs_c_stack)
+            rgs = rhs_z_stack[:, N * d :]
+            q1 = -rhs_z_blks  # (R, N, d)
+            dzs1, dzv1, lam1 = RS(
+                P_all,
+                Lv_all,
+                Kg_all,
+                Mvs_all,
+                L0,
+                Abar_p,
+                Bbar_p,
+                q1[:, :, s_ix],
+                q1[:, :, v_ix],
+                jax.vmap(_b_dyn_pad)(rhs_c_stack),
+            )
+            lam0 = lam1 * cm[None]
+            dz0 = (
+                jnp.zeros((R, N, d), dtype)
+                .at[:, :, s_ix]
+                .set(dzs1)
+                .at[:, :, v_ix]
+                .set(dzv1)
+            )
+            dz, lam_stack, lam_c, dg, _ = jax.vmap(
+                _combine, out_axes=(0, 0, 0, 0, None)
+            )(dz0, lam0, rhs_c_stack, rgs)
+            dZ = jnp.concatenate([dz.reshape(R, -1), dg], axis=1)
+            return dZ, jax.vmap(pack_lam)(lam_stack, lam_c)
+
+        resolve.many = resolve_many
+
         # the main solution came out of the fused sweep (last RHS slot)
         dz, lam_stack, lam_c, dg, ok_s = _combine(
             dz_all[m_c + n_g], lamS[m_c + n_g], rhs_c, rg_main

@@ -8,6 +8,8 @@ if jax.devices()[0].platform != "tpu":
     jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import directtrajopt_tpu as dtx
 
 G_drift = np.array([[0.0, 1.0], [-1.0, 0.0]])

@@ -10,6 +10,8 @@ if jax.devices()[0].platform != "tpu":
     jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import directtrajopt_tpu as dtx
 
 # state x = (p, ṗ, θ, θ̇), control u = horizontal force; θ=0 is upright

@@ -11,6 +11,8 @@ import jax
 if jax.devices()[0].platform != "tpu":
     jax.config.update("jax_enable_x64", True)
 
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import directtrajopt_tpu as dtx
 from directtrajopt_tpu.benchmarks import make_batched_bilinear_problems
 from directtrajopt_tpu.parallel import make_mesh, solve_batch_sharded

@@ -87,20 +87,10 @@ def _check(with_globals):
     nlp = make_nlp(prob)
     Z = prob.trajectory.to_zvec()
 
-    J_eq = np.asarray(assembly.jac_eq(nlp, Z))
-    J_eq_ad = np.asarray(jax.jacfwd(nlp.c_eq)(Z))
-    np.testing.assert_allclose(J_eq, J_eq_ad, atol=1e-10)
-
-    J_in = np.asarray(assembly.jac_in(nlp, Z))
-    J_in_ad = np.asarray(jax.jacfwd(nlp.c_in)(Z))
-    np.testing.assert_allclose(J_in, J_in_ad, atol=1e-10)
-
     rng = np.random.default_rng(1)
     lam = jnp.asarray(rng.normal(size=nlp.n_eq))
     nu = jnp.asarray(rng.normal(size=nlp.n_in))
     sigma = 0.7
-
-    H = np.asarray(assembly.hess_lagrangian(nlp, Z, lam, nu, sigma))
 
     def lagr(z):
         return (
@@ -109,12 +99,25 @@ def _check(with_globals):
             + jnp.dot(nu, nlp.c_in(z))
         )
 
-    H_ad = np.asarray(jax.hessian(lagr)(Z))
-    np.testing.assert_allclose(H, H_ad, atol=1e-8)
+    # one jit around the whole pipeline: eager per-op dispatch through the
+    # O(z_dim²) AD graphs dominates suite wall time otherwise
+    def run():
+        return dict(
+            J_eq=assembly.jac_eq(nlp, Z),
+            J_eq_ad=jax.jacfwd(nlp.c_eq)(Z),
+            J_in=assembly.jac_in(nlp, Z),
+            J_in_ad=jax.jacfwd(nlp.c_in)(Z),
+            H=assembly.hess_lagrangian(nlp, Z, lam, nu, sigma),
+            H_ad=jax.hessian(lagr)(Z),
+            g=assembly.gradient(nlp, Z),
+            g_ad=jax.grad(nlp.objective)(Z),
+        )
 
-    g = np.asarray(assembly.gradient(nlp, Z))
-    g_ad = np.asarray(jax.grad(nlp.objective)(Z))
-    np.testing.assert_allclose(g, g_ad, atol=1e-12)
+    o = {k: np.asarray(v) for k, v in jax.jit(run)().items()}
+    np.testing.assert_allclose(o["J_eq"], o["J_eq_ad"], atol=1e-10)
+    np.testing.assert_allclose(o["J_in"], o["J_in_ad"], atol=1e-10)
+    np.testing.assert_allclose(o["H"], o["H_ad"], atol=1e-8)
+    np.testing.assert_allclose(o["g"], o["g_ad"], atol=1e-12)
 
 
 def test_assembly_no_globals():

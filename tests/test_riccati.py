@@ -128,86 +128,97 @@ def _compare_ops(prob, seed=1, atol=1e-6):
     lam = jnp.asarray(rng.normal(size=nlp.n_eq))
     nu = jnp.asarray(np.abs(rng.normal(size=nlp.n_in)) + 0.1)
 
-    dctx = dense.prepare(Z, lam, nu)
-    rctx = ricc.prepare(Z, lam, nu)
-
-    np.testing.assert_allclose(np.asarray(rctx.c_e), np.asarray(dctx.c_e), atol=1e-12)
-    np.testing.assert_allclose(np.asarray(rctx.c_i), np.asarray(dctx.c_i), atol=1e-12)
-    np.testing.assert_allclose(
-        np.asarray(rctx.grad_f), np.asarray(dctx.grad_f), atol=1e-12
-    )
-
-    # matvecs
     ve = jnp.asarray(rng.normal(size=nlp.n_eq))
-    np.testing.assert_allclose(
-        np.asarray(rctx.JeT(ve)), np.asarray(dctx.JeT(ve)), atol=1e-10
-    )
     vi = jnp.asarray(rng.normal(size=nlp.n_in))
-    np.testing.assert_allclose(
-        np.asarray(rctx.JiT(vi)), np.asarray(dctx.JiT(vi)), atol=1e-10
-    )
     vz = jnp.asarray(rng.normal(size=nlp.z_dim))
-    np.testing.assert_allclose(
-        np.asarray(rctx.Ji(vz)), np.asarray(dctx.Ji(vz)), atol=1e-10
-    )
 
-    # KKT step on a convexified system (δ=0 accepted by both backends)
     from directtrajopt_tpu.solvers.options import IPMOptions
 
     opt = IPMOptions().astype(jnp.float64)
     Sig = jnp.asarray(np.abs(rng.normal(size=nlp.z_dim)) + 3.0) * nlp.free_mask
     D = jnp.asarray(np.abs(rng.normal(size=nlp.n_in)) + 0.5)
     g_hat = jnp.asarray(rng.normal(size=nlp.z_dim)) * nlp.free_mask
-    # a consistent constraint rhs (random rhs may be inconsistent when the
-    # masked Jacobian is row-rank-deficient, making the comparison ill-posed)
-    Jm = dctx._Je * nlp.free_mask[None, :]
-    rhs_c = Jm @ jnp.asarray(rng.normal(size=nlp.z_dim))
+    w_rhs = jnp.asarray(rng.normal(size=nlp.z_dim))
+    g2 = jnp.asarray(rng.normal(size=nlp.z_dim)) * nlp.free_mask
+    w2 = jnp.asarray(rng.normal(size=nlp.z_dim))
 
-    dZ_d, lam_d, ok_d, delta_d, _ = dctx.kkt_step(
-        Sig, D, g_hat, rhs_c, jnp.zeros(()), opt
-    )
-    dZ_r, lam_r, ok_r, delta_r, resolve_r = rctx.kkt_step(
-        Sig, D, g_hat, rhs_c, jnp.zeros(()), opt
-    )
-    assert bool(ok_d) and bool(ok_r)
-    assert float(delta_d) == 0.0 and float(delta_r) == 0.0
+    # the whole pipeline runs inside ONE jit: eagerly, the hundreds of small
+    # ops in prepare/kkt_step dominate suite wall time via Python dispatch
+    def run():
+        dctx = dense.prepare(Z, lam, nu)
+        rctx = ricc.prepare(Z, lam, nu)
+        Jm = dctx._Je * nlp.free_mask[None, :]
+        rhs_c = Jm @ w_rhs
+        c2 = Jm @ w2
+        dZ_d, lam_d, ok_d, delta_d, _ = dctx.kkt_step(
+            Sig, D, g_hat, rhs_c, jnp.zeros(()), opt
+        )
+        dZ_r, lam_r, ok_r, delta_r, resolve_r = rctx.kkt_step(
+            Sig, D, g_hat, rhs_c, jnp.zeros(()), opt
+        )
+        dZ_r2, lam_r2 = resolve_r(-g2, c2)
+        # fused multi-RHS resolve must match per-rhs resolves exactly
+        dZ_m, lam_m = resolve_r.many(
+            jnp.stack([-g2, -g_hat]), jnp.stack([c2, rhs_c])
+        )
+        return dict(
+            rc_e=rctx.c_e, dc_e=dctx.c_e, rc_i=rctx.c_i, dc_i=dctx.c_i,
+            rgf=rctx.grad_f, dgf=dctx.grad_f,
+            rJeT=rctx.JeT(ve), dJeT=dctx.JeT(ve),
+            rJiT=rctx.JiT(vi), dJiT=dctx.JiT(vi),
+            rJi=rctx.Ji(vz), dJi=dctx.Ji(vz),
+            W=dctx._W, Je=dctx._Je, Ji=dctx._Ji, rhs_c=rhs_c, c2=c2,
+            dZ_d=dZ_d, lam_d=lam_d, ok_d=ok_d, delta_d=delta_d,
+            dZ_r=dZ_r, lam_r=lam_r, ok_r=ok_r, delta_r=delta_r,
+            dZ_r2=dZ_r2, lam_r2=lam_r2, dZ_m=dZ_m, lam_m=lam_m,
+        )
+
+    o = {k: np.asarray(v) for k, v in jax.jit(run)().items()}
+
+    np.testing.assert_allclose(o["rc_e"], o["dc_e"], atol=1e-12)
+    np.testing.assert_allclose(o["rc_i"], o["dc_i"], atol=1e-12)
+    np.testing.assert_allclose(o["rgf"], o["dgf"], atol=1e-12)
+    np.testing.assert_allclose(o["rJeT"], o["dJeT"], atol=1e-10)
+    np.testing.assert_allclose(o["rJiT"], o["dJiT"], atol=1e-10)
+    np.testing.assert_allclose(o["rJi"], o["dJi"], atol=1e-10)
+
+    assert bool(o["ok_d"]) and bool(o["ok_r"])
+    assert float(o["delta_d"]) == 0.0 and float(o["delta_r"]) == 0.0
 
     # ground truth: the Riccati solution must satisfy the exact (dense) KKT
     # equations — this is stronger than comparing against the dense solution,
     # which carries its own δc perturbation amplified by near-dependent rows.
     f = np.asarray(nlp.free_mask)
-    H = np.asarray(dctx._W) + np.diag(np.asarray(Sig))
-    Jim = np.asarray(dctx._Ji) * f[None, :]
+    H = o["W"] + np.diag(np.asarray(Sig))
+    Jim = o["Ji"] * f[None, :]
     if nlp.n_in:
         H = H + (Jim.T * np.asarray(D)[None, :]) @ Jim
     Hm = f[:, None] * f[None, :] * H + np.diag(1 - f)
-    Jm_np = np.asarray(Jm)
+    Jm_np = o["Je"] * f[None, :]
 
-    def kkt_residuals(dZ, lm):
-        r_stat = Hm @ np.asarray(dZ) + Jm_np.T @ np.asarray(lm) + np.asarray(g_hat)
-        r_cons = Jm_np @ np.asarray(dZ) - np.asarray(rhs_c)
+    def kkt_residuals(dZ, lm, g, rc):
+        r_stat = Hm @ dZ + Jm_np.T @ lm + np.asarray(g)
+        r_cons = Jm_np @ dZ - np.asarray(rc)
         return np.max(np.abs(r_stat)), np.max(np.abs(r_cons))
 
-    stat_r, cons_r = kkt_residuals(dZ_r, lam_r)
-    scale = max(
-        1.0, float(np.max(np.abs(np.asarray(dZ_r)))), float(np.max(np.abs(lam_r)))
-    )
+    stat_r, cons_r = kkt_residuals(o["dZ_r"], o["lam_r"], g_hat, o["rhs_c"])
+    scale = max(1.0, float(np.max(np.abs(o["dZ_r"]))), float(np.max(np.abs(o["lam_r"]))))
     assert stat_r < 1e-8 * scale, f"Riccati stationarity residual {stat_r} (scale {scale})"
     assert cons_r < 1e-7 * scale, f"Riccati constraint residual {cons_r} (scale {scale})"
     # primal steps agree (looser: δc/conditioning differences are expected)
-    np.testing.assert_allclose(np.asarray(dZ_r), np.asarray(dZ_d), atol=1e-3 * scale)
+    np.testing.assert_allclose(o["dZ_r"], o["dZ_d"], atol=1e-3 * scale)
 
     # resolve (second rhs through the same factorization)
-    g2 = jnp.asarray(rng.normal(size=nlp.z_dim)) * nlp.free_mask
-    c2 = Jm @ jnp.asarray(rng.normal(size=nlp.z_dim))
-    dZ_r2, lam_r2 = resolve_r(-g2, c2)
-    r_stat2 = Hm @ np.asarray(dZ_r2) + Jm_np.T @ np.asarray(lam_r2) + np.asarray(g2)
-    r_cons2 = Jm_np @ np.asarray(dZ_r2) - np.asarray(c2)
-    scale2 = max(
-        1.0, float(np.max(np.abs(np.asarray(dZ_r2)))), float(np.max(np.abs(lam_r2)))
-    )
-    assert np.max(np.abs(r_stat2)) < 1e-8 * scale2
-    assert np.max(np.abs(r_cons2)) < 1e-7 * scale2
+    stat2, cons2 = kkt_residuals(o["dZ_r2"], o["lam_r2"], g2, o["c2"])
+    scale2 = max(1.0, float(np.max(np.abs(o["dZ_r2"]))), float(np.max(np.abs(o["lam_r2"]))))
+    assert stat2 < 1e-8 * scale2
+    assert cons2 < 1e-7 * scale2
+
+    # fused multi-RHS resolve == per-rhs resolves
+    np.testing.assert_allclose(o["dZ_m"][0], o["dZ_r2"], atol=1e-10 * scale2)
+    np.testing.assert_allclose(o["lam_m"][0], o["lam_r2"], atol=1e-10 * scale2)
+    np.testing.assert_allclose(o["dZ_m"][1], o["dZ_r"], atol=1e-9 * scale)
+    np.testing.assert_allclose(o["lam_m"][1], o["lam_r"], atol=1e-9 * scale)
 
 
 def test_ops_agree_full_zoo():
