@@ -61,7 +61,7 @@ def jac_eq(nlp: CanonicalNLP, Z: jax.Array) -> jax.Array:
         off += r * (N - 1)
 
     if nlp.n_lin_eq:
-        J = J.at[off : off + nlp.n_lin_eq].set(nlp.A_eq)
+        J = J.at[off : off + nlp.n_lin_eq].set(nlp.A_eq.dense(J.dtype))
         off += nlp.n_lin_eq
 
     J = _add_nl_jacobian(nlp, J, zmat, gvec, nlp.eq_cons, off)
@@ -74,7 +74,7 @@ def jac_in(nlp: CanonicalNLP, Z: jax.Array) -> jax.Array:
     J = jnp.zeros((nlp.n_in, nlp.z_dim), dtype=Z.dtype)
     off = 0
     if nlp.n_lin_in:
-        J = J.at[:nlp.n_lin_in].set(nlp.A_in)
+        J = J.at[:nlp.n_lin_in].set(nlp.A_in.dense(J.dtype))
         off += nlp.n_lin_in
     J = _add_nl_jacobian(nlp, J, zmat, gvec, nlp.in_cons, off)
     return J

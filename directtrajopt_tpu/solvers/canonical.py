@@ -30,7 +30,66 @@ from ..integrators.base import stack_residuals
 from ..problem import DirectTrajOptProblem
 from ..trajectory import Layout
 
-__all__ = ["CanonicalNLP", "make_nlp"]
+__all__ = ["COORows", "CanonicalNLP", "make_nlp"]
+
+
+@dataclass
+class COORows:
+    """Affine constraint rows ``A Z − b`` in static-sparsity COO form.
+
+    Dense (n_rows × z_dim) storage is O(N²·d) for the structured constraint
+    zoo (N-row chains each touching a z_dim-wide row) — fine at N≈100,
+    wrong-by-construction at N≈1000. Every consumer needs only matvec /
+    rmatvec / a small row slice (the Riccati border), so the rows stay COO:
+    ``rows``/``cols`` are static numpy (sparsity is structure), ``vals`` may
+    be traced (constraint coefficients can be problem data).
+    """
+
+    rows: np.ndarray  # (nnz,) static
+    cols: np.ndarray  # (nnz,) static
+    vals: jax.Array  # (nnz,)
+    n_rows: int
+    n_cols: int
+
+    def matvec(self, Z: jax.Array) -> jax.Array:
+        """A @ Z."""
+        out = jnp.zeros((self.n_rows,), dtype=Z.dtype)
+        if len(self.rows) == 0:
+            return out
+        v = jnp.asarray(self.vals, dtype=Z.dtype)
+        return out.at[jnp.asarray(self.rows)].add(v * Z[jnp.asarray(self.cols)])
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        """Aᵀ @ y."""
+        out = jnp.zeros((self.n_cols,), dtype=y.dtype)
+        if len(self.rows) == 0:
+            return out
+        v = jnp.asarray(self.vals, dtype=y.dtype)
+        return out.at[jnp.asarray(self.cols)].add(v * y[jnp.asarray(self.rows)])
+
+    def select_rows(self, idx: np.ndarray, dtype) -> jax.Array:
+        """Dense (len(idx), n_cols) block of the selected rows (static idx).
+        Used for the Riccati border, whose row count is O(1) in N."""
+        idx = np.asarray(idx)
+        keep = np.isin(self.rows, idx)
+        remap = np.zeros(self.n_rows, dtype=np.int64)
+        remap[idx] = np.arange(len(idx))
+        out = jnp.zeros((len(idx), self.n_cols), dtype=dtype)
+        if not keep.any():
+            return out
+        r = remap[self.rows[keep]]
+        c = self.cols[keep]
+        v = jnp.asarray(self.vals, dtype=dtype)[jnp.asarray(np.nonzero(keep)[0])]
+        return out.at[jnp.asarray(r), jnp.asarray(c)].add(v)
+
+    def dense(self, dtype) -> jax.Array:
+        """Full dense materialization (dense-backend assembly only)."""
+        out = jnp.zeros((self.n_rows, self.n_cols), dtype=dtype)
+        if len(self.rows) == 0:
+            return out
+        return out.at[jnp.asarray(self.rows), jnp.asarray(self.cols)].add(
+            jnp.asarray(self.vals, dtype=dtype)
+        )
 
 
 @dataclass
@@ -51,10 +110,10 @@ class CanonicalNLP:
     # bounds (pinned coords forced to ±inf → no barrier)
     lb: jax.Array
     ub: jax.Array
-    # affine rows
-    A_eq: jax.Array  # (n_lin_eq, z_dim) dense
+    # affine rows (COO — see COORows)
+    A_eq: "COORows"
     b_eq: jax.Array
-    A_in: jax.Array
+    A_in: "COORows"
     b_in: jax.Array
     # callables
     objective: Callable  # (Z,) -> scalar
@@ -84,7 +143,7 @@ class CanonicalNLP:
     def c_eq(self, Z: jax.Array) -> jax.Array:
         parts = [self.dynamics(Z)]
         if self.n_lin_eq:
-            parts.append(self.A_eq @ Z - self.b_eq)
+            parts.append(self.A_eq.matvec(Z) - self.b_eq)
         if self.n_nl_eq:
             parts.append(self.nl_eq(Z))
         return jnp.concatenate(parts) if parts else jnp.zeros((0,), dtype=Z.dtype)
@@ -92,7 +151,7 @@ class CanonicalNLP:
     def c_in(self, Z: jax.Array) -> jax.Array:
         parts = []
         if self.n_lin_in:
-            parts.append(self.A_in @ Z - self.b_in)
+            parts.append(self.A_in.matvec(Z) - self.b_in)
         if self.n_nl_in:
             parts.append(self.nl_in(Z))
         return (
@@ -156,18 +215,26 @@ def make_nlp(problem: DirectTrajOptProblem, dtype=None) -> CanonicalNLP:
         lb = lb.at[fi].set(-jnp.inf)
         ub = ub.at[fi].set(jnp.inf)
 
-    # affine rows → dense matrices (row counts are small)
+    # affine rows → one concatenated COO block (dense (rows × z_dim) storage
+    # is O(N²·d) for chain constraints; consumers only need matvecs)
     def build_rows(entries):
         n_rows = sum(e[4] for e in entries)
-        A = jnp.zeros((n_rows, z_dim), dtype=dtype)
+        all_rows, all_cols, all_vals = [], [], []
         b = jnp.zeros((n_rows,), dtype=dtype)
         off = 0
         for rows, cols, vals, rhs, n in entries:
-            A = A.at[jnp.asarray(rows + off), jnp.asarray(cols)].add(
-                vals.astype(dtype)
-            )
+            all_rows.append(np.asarray(rows) + off)
+            all_cols.append(np.asarray(cols))
+            all_vals.append(jnp.asarray(vals, dtype=dtype))
             b = b.at[off : off + n].set(rhs.astype(dtype))
             off += n
+        A = COORows(
+            rows=np.concatenate(all_rows) if all_rows else np.zeros(0, np.int64),
+            cols=np.concatenate(all_cols) if all_cols else np.zeros(0, np.int64),
+            vals=jnp.concatenate(all_vals) if all_vals else jnp.zeros(0, dtype),
+            n_rows=n_rows,
+            n_cols=z_dim,
+        )
         return A, b, n_rows
 
     A_eq, b_eq, n_lin_eq = build_rows(canon.eq_rows)

@@ -505,7 +505,7 @@ class _RiccatiCtx:
             vl = v[nlp.n_dyn : nlp.n_dyn + nlp.n_lin_eq] * jnp.asarray(
                 self._lin_mask, dtype=self.dtype
             )
-            full = full + nlp.A_eq.T @ vl
+            full = full + nlp.A_eq.rmatvec(vl)
         for con, jac, jac_g, o in zip(
             nlp.eq_cons, self.nl_eq_jacs, self.nl_eq_jacs_g, S.nl_eq_offsets
         ):
@@ -633,12 +633,13 @@ class _RiccatiCtx:
             loc_vec_parts.append(C_bp)
             loc_mask_parts.append(np.ones(n_bp))
         if n_lb:
-            lbr = jnp.asarray(S.lin_border_rows)
-            A_eq_m = nlp.A_eq[lbr] * nlp.free_mask[None, :].astype(dtype)
+            A_eq_m = nlp.A_eq.select_rows(
+                S.lin_border_rows, dtype
+            ) * nlp.free_mask[None, :].astype(dtype)
             C_lin = A_eq_m[:, : N * d].reshape(n_lb, N, d)
             C_rows.append(C_lin)
             Cg_rows.append(A_eq_m[:, N * d :])
-            rhs_cc.append(rhs_c[nlp.n_dyn + lbr])
+            rhs_cc.append(rhs_c[nlp.n_dyn + jnp.asarray(S.lin_border_rows)])
             loc_mask_parts.append(np.zeros(n_lb))
         for con, jac, jac_g, o in zip(
             nlp.eq_cons, self.nl_eq_jacs, self.nl_eq_jacs_g, S.nl_eq_offsets
