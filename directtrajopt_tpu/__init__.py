@@ -66,6 +66,7 @@ from .solvers import (
     set_default_options,
     solve_jit,
     solve_polished,
+    solve_batch_polished,
     cast_problem,
 )
 from .trajectory import Layout, Trajectory, traj_index, traj_slice

@@ -17,6 +17,7 @@ from .solve import (
     solve_batch,
     solve_jit,
     solve_polished,
+    solve_batch_polished,
     cast_problem,
 )
 
@@ -40,5 +41,6 @@ __all__ = [
     "set_default_options",
     "solve_jit",
     "solve_polished",
+    "solve_batch_polished",
     "cast_problem",
 ]

@@ -30,6 +30,7 @@ __all__ = [
     "solve_batch",
     "solve_jit",
     "solve_polished",
+    "solve_batch_polished",
     "cast_problem",
     "remove_slack_variables",
     "get_default_options",
@@ -286,6 +287,43 @@ def solve_polished(
         bound_frac=1e-9,
     )
     return solve_jit(prob64, opts64, backend=backend, callbacks=callbacks, warm=warm)
+
+
+def solve_batch_polished(
+    problems: DirectTrajOptProblem,
+    options: IPMOptions | None = None,
+    *,
+    polish_tol: float = 1e-8,
+    polish_max_iter: int = 250,
+    polish_mu_init: float = 1e-5,
+    backend: str = "auto",
+    **kwargs: Any,
+) -> SolveResult:
+    """Batched mixed-precision solve (see :func:`solve_polished`).
+
+    The f32 phase runs the whole scenario batch at MXU speed; the f64 polish
+    then runs the same lockstep batch warm-started from each lane's best-KKT
+    iterate with its matched duals. Only the tail pays f64 emulation cost.
+    """
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "solve_batch_polished needs the f64 polish phase: enable it with "
+            'jax.config.update("jax_enable_x64", True) before tracing'
+        )
+    first = solve_batch(problems, options, backend=backend, **kwargs)
+    prob64 = cast_problem(first.problem, jnp.float64)
+    warm = jax.tree.map(
+        lambda x: x.astype(jnp.float64), first.ipm.state.best_kkt_warm
+    )
+    opts64 = _merge_options(options, dict(kwargs)).replace(
+        tol=polish_tol,
+        acceptable_tol=polish_tol,
+        max_iter=polish_max_iter,
+        mu_init=polish_mu_init,
+        bound_push=1e-9,
+        bound_frac=1e-9,
+    )
+    return solve_batch(prob64, opts64, backend=backend, warm=warm)
 
 
 def _merge_options(options: IPMOptions | None, kwargs: dict) -> IPMOptions:

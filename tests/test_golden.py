@@ -89,6 +89,29 @@ def test_matches_golden(path):
     assert abs(f_ours - float(meta["obj"])) < 1e-6 * max(1.0, abs(float(meta["obj"])))
 
 
+def test_batched_polish_converges():
+    """solve_batch_polished: every lane of an f32 batch reaches Ipopt-grade
+    tolerance after the warm-started f64 polish."""
+    import jax
+    import jax.numpy as jnp
+
+    from directtrajopt_tpu.benchmarks import make_batched_bilinear_problems
+    from directtrajopt_tpu.solvers.solve import cast_problem, solve_batch_polished
+
+    batch = cast_problem(
+        make_batched_bilinear_problems(3, N=11, feasible_start=True), jnp.float32
+    )
+    res = solve_batch_polished(
+        batch, tol=1e-6, acceptable_tol=1e-6, acceptable_iter=50, max_iter=80,
+        mu_init=3e-2, polish_max_iter=150,
+    )
+    assert res.problem.trajectory.to_zvec().dtype == jnp.float64
+    conv = np.asarray(res.converged)
+    kkt = np.asarray(res.kkt_error)
+    assert conv.all(), (conv, kkt)
+    assert (kkt <= 1e-7).all(), kkt
+
+
 def test_polished_f32_matches_golden():
     """The mixed-precision path (f32 throughput solve + warm-started f64
     polish, `solve_polished`) reaches the golden N=51 solution from an f32
