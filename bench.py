@@ -60,7 +60,10 @@ def main():
     # chunks. Phase caps and μ schedule tuned by sweep (bench_report.json):
     # phase 1 runs to just past the median iteration count at a reduced
     # μ_init (feasible starts need less centering), phase 2 warm-starts the
-    # stragglers from their best iterates with μ_init=1e-3.
+    # stragglers from their best iterates with μ_init=1e-3. Measured and
+    # rejected: carrying phase-1 duals into phase 2 (solve_batch warm=...)
+    # converges FEWER lanes (79-83/89 vs 87/89) — on this nonconvex family
+    # mid-flight duals centered for the old μ fight the restarted barrier.
     CONT = min(128, BATCH)
     PH1, PH2 = (36, 92) if on_tpu else (64, 200)
     MU1, MU2 = (3e-2, 1e-3) if on_tpu else (1e-1, 1e-2)
