@@ -73,3 +73,14 @@ def test_public_symbols_importable_from_top_level():
     ]
     for sym in expected:
         assert hasattr(dtx, sym), f"missing top-level export {sym}"
+
+
+def test_profiling_hooks():
+    """Structure-build timing + profiler trace context (SURVEY §5 tracing)."""
+    from directtrajopt_tpu.benchmarks import make_bilinear_problem
+    from directtrajopt_tpu.utils.profiling import time_structure_build
+
+    info = time_structure_build(make_bilinear_problem(N=9, feasible_start=True))
+    assert info["riccati_eligible"] is True
+    assert info["make_nlp_s"] > 0 and info["analyze_s"] > 0
+    assert "n_border_rows" in info
