@@ -125,16 +125,46 @@ def main():
     )
 
     baseline_solves_per_s = 1.0 / 0.616  # reference Ipopt single-solve
-    print(
-        json.dumps(
-            {
-                "metric": "bilinear_n51_solves_per_s",
-                "value": round(solves_per_s, 3),
-                "unit": "solves/s/chip",
-                "vs_baseline": round(solves_per_s / baseline_solves_per_s, 2),
-            }
-        )
+    record = {
+        "metric": "bilinear_n51_solves_per_s",
+        "value": round(solves_per_s, 3),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_s / baseline_solves_per_s, 2),
+    }
+    print(json.dumps(record))
+
+    # regression tracking (analog of the reference's BenchmarkUtils alerting,
+    # `benchmark/BenchmarkUtils.jl:271-291`): append to a local history and
+    # warn when this run is >25% below the median of the trailing window
+    # (the tunnel's run-to-run variance is ~±10%)
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
     )
+    prior = []
+    if os.path.exists(hist_path):
+        with open(hist_path) as fh:
+            prior = [
+                json.loads(line)["value"]
+                for line in fh
+                if line.strip()
+                and json.loads(line).get("platform") == dev.platform
+            ][-8:]
+    with open(hist_path, "a") as fh:
+        fh.write(
+            json.dumps(
+                dict(record, platform=dev.platform, converged=n_conv, batch=BATCH)
+            )
+            + "\n"
+        )
+    if len(prior) >= 3:
+        med = float(np.median(prior))
+        if solves_per_s < 0.75 * med:
+            print(
+                f"REGRESSION WARNING: {solves_per_s:.1f} solves/s is "
+                f"{100 * (1 - solves_per_s / med):.0f}% below the trailing "
+                f"median {med:.1f} (n={len(prior)})",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":
