@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..trajectory import Layout, Trajectory
 
@@ -72,6 +73,40 @@ def stack_hessians(
     return jax.vmap(lambda w, k, m: hess(w, k, m))(W, ks, mu)
 
 
+def _read_cols(integrator, layout: Layout) -> np.ndarray | None:
+    """Static z_k-column indices the integrator's residual reads, or None
+    for "all of them". Differentiating only these columns (and scattering the
+    blocks back to full width) cuts the AD tangent count quadratically for
+    the Hessian — on the N=51 bilinear benchmark (reads x,u,Δt = 7 of 11
+    knot coordinates) the context-build (`prepare`) cost dominates the IPM
+    iteration, and 121→49 Hessian tangent pairs is the difference."""
+    import os
+
+    if os.environ.get("DTX_NO_READCOLS"):  # perf-ablation escape hatch
+        return None
+    fn = getattr(integrator, "read_cols", None)
+    if fn is None:
+        return None
+    cols = np.unique(np.asarray(fn(layout), dtype=np.int64))
+    if len(cols) >= layout.dim:
+        return None
+    return cols
+
+
+def _embedding(cols: np.ndarray, dim: int, dtype):
+    """Static one-hot embedding ``E (n_read, dim)`` and keep-mask ``(dim,)``.
+
+    Scatters/gathers with index arrays lower to serialized scatter ops on
+    TPU (measured +2.5 ms/IPM-iteration at B=256); expressing the same
+    restriction as tiny one-hot matmuls keeps everything on the fast path.
+    """
+    E = np.zeros((len(cols), dim))
+    E[np.arange(len(cols)), cols] = 1.0
+    keep = np.ones((dim,))
+    keep[cols] = 0.0
+    return jnp.asarray(E, dtype=dtype), jnp.asarray(keep, dtype=dtype)
+
+
 def stack_jacobians_zk(integrator, layout: Layout, zmat: jax.Array) -> jax.Array:
     """Per-window residual Jacobians w.r.t. ``z_k`` only: ``(N-1, r, dim)``.
 
@@ -81,12 +116,27 @@ def stack_jacobians_zk(integrator, layout: Layout, zmat: jax.Array) -> jax.Array
     """
     dim = layout.dim
     ks = jnp.arange(layout.N - 1)
+    cols = _read_cols(integrator, layout)
 
-    def res_zk(zk, zk1, k):
+    if cols is None:
+
+        def res_zk(zk, zk1, k):
+            return integrator.residual(layout, jnp.concatenate([zk, zk1]), k)
+
+        jac = jax.jacfwd(res_zk, argnums=0)
+        return jax.vmap(jac)(zmat[..., :-1, :], zmat[..., 1:, :], ks)
+
+    E, keep = _embedding(cols, dim, zmat.dtype)
+
+    def res_r(wr, zk, zk1, k):
+        zk = zk * keep + wr @ E
         return integrator.residual(layout, jnp.concatenate([zk, zk1]), k)
 
-    jac = jax.jacfwd(res_zk, argnums=0)
-    return jax.vmap(jac)(zmat[..., :-1, :], zmat[..., 1:, :], ks)
+    jac = jax.jacfwd(res_r, argnums=0)
+    Jr = jax.vmap(jac)(
+        zmat[..., :-1, :] @ E.T, zmat[..., :-1, :], zmat[..., 1:, :], ks
+    )  # (N-1, r, n_read)
+    return Jr @ E
 
 
 def stack_hessians_zk(
@@ -98,11 +148,41 @@ def stack_hessians_zk(
     dim = layout.dim
     ks = jnp.arange(layout.N - 1)
 
-    def lagr(zk, zk1, k, m):
+    import os
+
+    # structure-exploiting per-integrator Hessian (e.g. the bilinear
+    # integrator's linearity in x cuts the AD pair count ~4×)
+    custom = getattr(integrator, "hessian_zk", None)
+    if os.environ.get("DTX_NO_CUSTOM_HESS"):  # perf-ablation escape hatch
+        custom = None
+    if custom is not None:
+        return jax.vmap(lambda zk, zk1, k, m: custom(layout, zk, zk1, k, m))(
+            zmat[..., :-1, :], zmat[..., 1:, :], ks, mu
+        )
+
+    cols = _read_cols(integrator, layout)
+
+    if cols is None:
+
+        def lagr(zk, zk1, k, m):
+            return jnp.dot(
+                m, integrator.residual(layout, jnp.concatenate([zk, zk1]), k)
+            )
+
+        hess = jax.hessian(lagr, argnums=0)
+        return jax.vmap(hess)(zmat[..., :-1, :], zmat[..., 1:, :], ks, mu)
+
+    E, keep = _embedding(cols, dim, zmat.dtype)
+
+    def lagr_r(wr, zk, zk1, k, m):
+        zk = zk * keep + wr @ E
         return jnp.dot(m, integrator.residual(layout, jnp.concatenate([zk, zk1]), k))
 
-    hess = jax.hessian(lagr, argnums=0)
-    return jax.vmap(hess)(zmat[..., :-1, :], zmat[..., 1:, :], ks, mu)
+    hess = jax.hessian(lagr_r, argnums=0)
+    Hr = jax.vmap(hess)(
+        zmat[..., :-1, :] @ E.T, zmat[..., :-1, :], zmat[..., 1:, :], ks, mu
+    )  # (N-1, n_read, n_read)
+    return jnp.einsum("kab,ad,be->kde", Hr, E, E)
 
 
 def evaluate(integrator, traj: Trajectory) -> jax.Array:

@@ -11,6 +11,7 @@ regularization produces smooth controls.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from ..module import module, static_field
 from ..trajectory import Layout
@@ -36,6 +37,34 @@ class DerivativeIntegrator:
 
     def residual_dim(self, layout: Layout) -> int:
         return layout.dim_of(self.x_name)
+
+    def read_cols(self, layout: Layout):
+        """z_k columns the residual reads (x, ẋ, Δt) — restricts window AD."""
+        cs_x = layout.comp_slice(self.x_name)
+        cs_d = layout.comp_slice(self.xdot_name)
+        cols = list(range(cs_x.start, cs_x.stop)) + list(range(cs_d.start, cs_d.stop))
+        if layout.has_free_time:
+            cols.append(layout.offsets[layout.timestep])
+        return cols
+
+    def hessian_zk(self, layout: Layout, zk, zk1, k, m):
+        """Analytic Hessian of ``mᵀ(x_{k+1} − x_k − Δt·ẋ_k)`` w.r.t. ``z_k``:
+        the only curvature is the Δt×ẋ cross term (−mᵢ at (Δt, ẋᵢ)); zero for
+        fixed timesteps. Replaces the generic AD pass entirely."""
+        import numpy as np
+
+        d = layout.dim
+        if not layout.has_free_time:
+            return jnp.zeros((d, d), dtype=zk.dtype)
+        cs_d = layout.comp_slice(self.xdot_name)
+        dt_col = layout.offsets[layout.timestep]
+        e_dt = np.zeros((d,))
+        e_dt[dt_col] = 1.0
+        Ed = np.zeros((cs_d.stop - cs_d.start, d))
+        Ed[np.arange(cs_d.stop - cs_d.start), np.arange(cs_d.start, cs_d.stop)] = 1.0
+        e_dt = jnp.asarray(e_dt, dtype=zk.dtype)
+        v = -m @ jnp.asarray(Ed, dtype=zk.dtype)  # (d,) with −m at ẋ cols
+        return jnp.outer(e_dt, v) + jnp.outer(v, e_dt)
 
     def residual(self, layout: Layout, w: jax.Array, k: jax.Array) -> jax.Array:
         dim = layout.dim

@@ -79,6 +79,19 @@ class TimeDependentBilinearIntegrator:
     def residual_dim(self, layout: Layout) -> int:
         return layout.dim_of(self.x_name)
 
+    def read_cols(self, layout: Layout):
+        """z_k columns the residual reads (x, u, t, Δt) — restricts window AD."""
+        cs_x, cs_u = layout.comp_slice(self.x_name), layout.comp_slice(self.u_name)
+        cs_t = layout.comp_slice(self.t_name)
+        cols = (
+            list(range(cs_x.start, cs_x.stop))
+            + list(range(cs_u.start, cs_u.stop))
+            + list(range(cs_t.start, cs_t.stop))
+        )
+        if layout.has_free_time:
+            cols.append(layout.offsets[layout.timestep])
+        return cols
+
     def residual(self, layout: Layout, w: jax.Array, k: jax.Array) -> jax.Array:
         dim = layout.dim
         zk, zk1 = w[:dim], w[dim:]
@@ -139,6 +152,14 @@ class GeneralIntegrator:
 
     def residual_dim(self, layout: Layout) -> int:
         return layout.dim_of(self.x_name)
+
+    def read_cols(self, layout: Layout):
+        """z_k columns the residual reads (x, u, Δt) — restricts window AD."""
+        cs_x, cs_u = layout.comp_slice(self.x_name), layout.comp_slice(self.u_name)
+        cols = list(range(cs_x.start, cs_x.stop)) + list(range(cs_u.start, cs_u.stop))
+        if layout.has_free_time:
+            cols.append(layout.offsets[layout.timestep])
+        return cols
 
     def residual(self, layout: Layout, w: jax.Array, k: jax.Array) -> jax.Array:
         dim = layout.dim

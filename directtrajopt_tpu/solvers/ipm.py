@@ -59,6 +59,9 @@ class IPMState(NamedTuple):
     filter_th: jax.Array  # (F,) filter θ entries (+inf = empty)
     filter_ph: jax.Array  # (F,) filter φ entries
     filter_n: jax.Array  # number of live entries
+    phi_hist: jax.Array  # (ls_memory,) recent φ ring for non-monotone LS
+    c_e: jax.Array  # equality residuals at Z (carried from the line search)
+    c_i: jax.Array  # inequality residuals at Z
     delta_w_last: jax.Array  # last successful regularization
     stall_count: jax.Array  # consecutive stalled restoration steps
     infeasible: jax.Array  # local-infeasibility certificate fired
@@ -190,9 +193,8 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         zL0 = jnp.where(mask_L, jnp.maximum(warm.zL.astype(dtype), opt.slack_min), 0.0)
         zU0 = jnp.where(mask_U, jnp.maximum(warm.zU.astype(dtype), opt.slack_min), 0.0)
 
-    theta_init = jnp.sum(jnp.abs(nlp.c_eq(Z_init))) + jnp.sum(
-        jnp.abs(nlp.c_in(Z_init) + s_init)
-    )
+    c_e0 = nlp.c_eq(Z_init)
+    theta_init = jnp.sum(jnp.abs(c_e0)) + jnp.sum(jnp.abs(c_i0 + s_init))
 
     # least-squares equality-multiplier initialization (Ipopt §3.6 / its
     # constr_mult_init_max guard): one extra KKT solve at the start point
@@ -202,7 +204,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
     if warm is not None:
         lam0 = warm.lam.astype(dtype)
     elif options.dual_init == "least_squares" and n_eq:
-        ctx0 = ops.prepare(Z_init, lam0, nu0)
+        ctx0 = ops.prepare(Z_init, lam0, nu0, cache=(c_e0, c_i0))
         SigL0 = jnp.where(mask_L, zL0 / dL0, 0.0)
         SigU0 = jnp.where(mask_U, zU0 / dU0, 0.0)
         Sig0 = (SigL0 + SigU0) * free
@@ -234,6 +236,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         filter_th=jnp.full((_FILTER_SIZE,), jnp.inf, dtype=dtype),
         filter_ph=jnp.full((_FILTER_SIZE,), jnp.inf, dtype=dtype),
         filter_n=jnp.zeros((), dtype=jnp.int32),
+        phi_hist=jnp.full((max(options.ls_memory, 1),), -jnp.inf, dtype=dtype),
         delta_w_last=jnp.zeros((), dtype=dtype),
         stall_count=jnp.zeros((), dtype=jnp.int32),
         infeasible=jnp.asarray(False),
@@ -252,6 +255,8 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         hist_n=jnp.zeros((), dtype=jnp.int32),
         best_score=jnp.asarray(-jnp.inf, dtype=dtype),
         best_Z=Z_init,
+        c_e=c_e0,
+        c_i=c_i0,
     )
 
     s_max = jnp.asarray(100.0, dtype=dtype)
@@ -264,20 +269,19 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             + jnp.sum(jnp.log(s))
         )
 
-    def barrier_phi_from(Z, s, mu, c_e, c_i):
-        """φ_μ and θ from precomputed constraint residuals."""
+    def barrier_phi_from(f, Z, s, mu, c_e, c_i):
+        """φ_μ and θ from precomputed objective and constraint residuals."""
         theta = jnp.sum(jnp.abs(c_e)) + jnp.sum(jnp.abs(c_i + s))
-        return nlp.objective(Z) - mu * _bar(Z, s), theta
-
-    def barrier_phi(Z, s, mu):
-        """Barrier function φ_μ and ℓ1 constraint violation θ."""
-        return barrier_phi_from(Z, s, mu, nlp.c_eq(Z), nlp.c_in(Z))
+        return f - mu * _bar(Z, s), theta
 
     def body(st: IPMState) -> IPMState:
         Z, s, lam, nu, zL, zU = st.Z, st.s, st.lam, st.nu, st.zL, st.zU
         dL, dU = bound_dists(Z)
 
-        ctx = ops.prepare(Z, lam, nu)
+        # residuals at Z were computed by the line-search trial that accepted
+        # it — carrying them through the loop saves one full c_eq/c_in (and
+        # one objective) evaluation per iteration
+        ctx = ops.prepare(Z, lam, nu, cache=(st.c_e, st.c_i))
         gf, c_e, c_i = ctx.grad_f, ctx.c_e, ctx.c_i
 
         # ---- optimality errors at the current iterate -------------------- #
@@ -373,6 +377,8 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             filter_th = jnp.where(mu_update, jnp.inf, st.filter_th)
             filter_ph = jnp.where(mu_update, jnp.inf, st.filter_ph)
             filter_n = jnp.where(mu_update, 0, st.filter_n)
+        # non-monotone memory is only comparable within one barrier value
+        phi_hist = jnp.where(mu_update, -jnp.inf, st.phi_hist)
 
         # ---- condensed system ------------------------------------------- #
         SigL = jnp.where(mask_L, zL / dL, 0.0)
@@ -444,6 +450,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             filter_th = jnp.where(mu_update, jnp.inf, filter_th)
             filter_ph = jnp.where(mu_update, jnp.inf, filter_ph)
             filter_n = jnp.where(mu_update, 0, filter_n)
+            phi_hist = jnp.where(mu_update, -jnp.inf, phi_hist)
 
             g_hat = (
                 gf
@@ -499,7 +506,8 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             )
 
         # ---- filter line search with second-order correction ------------- #
-        phi0, theta0 = barrier_phi_from(Z, s, mu, c_e, c_i)
+        # st.obj is objective(Z), carried with the residuals
+        phi0, theta0 = barrier_phi_from(st.obj, Z, s, mu, c_e, c_i)
         Dphi = (
             jnp.dot(gf, dZ)
             - mu * jnp.sum(jnp.where(mask_L, dZ / dL, 0.0))
@@ -507,18 +515,29 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             - (mu * jnp.sum(ds / s) if n_in else 0.0)
         )
 
+        # non-monotone reference (Grippo-style): max φ over the recent-iterate
+        # window at this μ; ls_memory=1 (default) is the classic monotone
+        # Wächter–Biegler test
+        if options.ls_memory > 1:
+            phi_ref = jnp.maximum(phi0, jnp.max(phi_hist))
+        else:
+            phi_ref = phi0
+
         def acceptable(alpha, phi_t, theta_t):
             vs_filter = jnp.all(
                 (theta_t <= (1.0 - _GAMMA_THETA) * filter_th)
                 | (phi_t <= filter_ph - _GAMMA_PHI * filter_th)
             )
             switch = (Dphi < 0) & (alpha * (-Dphi) ** _S_PHI > theta0**_S_THETA)
-            armijo = phi_t <= phi0 + opt.eta_ls * alpha * Dphi
+            armijo = phi_t <= phi_ref + opt.eta_ls * alpha * Dphi
             sufficient = (theta_t <= (1.0 - _GAMMA_THETA) * theta0) | (
-                phi_t <= phi0 - _GAMMA_PHI * theta0
+                phi_t <= phi_ref - _GAMMA_PHI * theta0
             )
             accept = jnp.where(switch & (theta0 <= st.theta_min), armijo, sufficient)
-            f_type = switch & armijo
+            # f-type stays STRICT (vs φ0, not φ_ref): any relaxed acceptance
+            # is classified non-f-type and therefore augments the filter,
+            # which bounds non-monotone cycling
+            f_type = switch & (phi_t <= phi0 + opt.eta_ls * alpha * Dphi)
             accept = (
                 accept
                 & vs_filter
@@ -529,17 +548,26 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             return accept, f_type
 
         def trial(alpha, dZ_, ds_):
+            """One line-search trial; returns (φ, θ, f, c_eq, c_in) so the
+            accepted candidate's residuals/objective can be carried into the
+            next iteration instead of re-evaluated."""
             Zt = nlp.apply_pins(Z + alpha * dZ_)
             st_ = s + alpha * ds_
-            phi_t, theta_t = barrier_phi(Zt, st_, mu)
-            return phi_t, theta_t
+            c_e_t = nlp.c_eq(Zt)
+            c_i_t = nlp.c_in(Zt)
+            f_t = nlp.objective(Zt)
+            phi_t, theta_t = barrier_phi_from(f_t, Zt, st_, mu, c_e_t, c_i_t)
+            return phi_t, theta_t, f_t, c_e_t, c_i_t
 
         # first trial at the full step; its residuals are shared with the SOC
         Z_full = nlp.apply_pins(Z + a_pri * dZ)
         s_full = s + a_pri * ds
         c_e_full = nlp.c_eq(Z_full)
         c_i_full = nlp.c_in(Z_full)
-        phi_1, theta_1 = barrier_phi_from(Z_full, s_full, mu, c_e_full, c_i_full)
+        f_full = nlp.objective(Z_full)
+        phi_1, theta_1 = barrier_phi_from(
+            f_full, Z_full, s_full, mu, c_e_full, c_i_full
+        )
         acc_1, ftype_1 = acceptable(a_pri, phi_1, theta_1)
 
         # second-order correction (Ipopt §A-5.7) reusing the factorization
@@ -569,9 +597,6 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             dZ_soc, lam_soc = resolve(-g_hat - g_soc, -c_soc)
         ds_soc = -(ci_soc) - ctx.Ji(dZ_soc) if n_in else jnp.zeros((0,), dtype=dtype)
         a_soc = max_primal_step(dZ_soc, ds_soc)
-        phi_s, theta_s = trial(a_soc, dZ_soc, ds_soc)
-        acc_s, ftype_s = acceptable(a_soc, phi_s, theta_s)
-        use_soc = (~acc_1) & (theta_1 > theta0) & acc_s
 
         # restoration direction: pure feasibility step in the Lagrangian
         # metric (min ½dzᵀ(W+Σ)dz s.t. J dz = −c), solved above in the same
@@ -592,21 +617,50 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         # backtracking as a parallel trial grid: evaluate all candidate step
         # sizes in one batched pass (a sequential while_loop would make every
         # vmapped lane pay for the slowest lane's backtracks). The last
-        # n_rest slots trial the restoration direction instead.
+        # n_rest slots trial the restoration direction, and the SOC trial
+        # rides the same vmapped batch as its final slot — one fused
+        # residual evaluation for the whole line search.
         n_bt = options.max_ls - n_rest
+        n_grid = n_bt + n_rest
+        alpha_min = a_pri * (0.5**opt.max_ls)
         alphas_main = a_pri * (0.5 ** jnp.arange(1, n_bt + 1, dtype=dtype))
         alphas_rest = a_r * (0.5 ** jnp.arange(0, n_rest, dtype=dtype))
-        alphas_all = jnp.concatenate([alphas_main, alphas_rest])
+        # slot layout: [backtracking grid | restoration trials | SOC | α_min]
+        # — the SOC trial and the α_min fallback ride the same vmapped batch,
+        # so every candidate the step selection can pick has its residuals
+        # evaluated exactly once (and the winner's are carried forward)
+        alphas_all = jnp.concatenate(
+            [alphas_main, alphas_rest, a_soc[None], alpha_min[None]]
+        )
         is_rest = jnp.concatenate(
             [jnp.zeros((n_bt,), bool), jnp.ones((n_rest,), bool)]
         )
+        dir_idx = jnp.concatenate(
+            [
+                jnp.zeros((n_bt,), jnp.int32),
+                jnp.ones((n_rest,), jnp.int32),
+                jnp.full((1,), 2, jnp.int32),
+                jnp.zeros((1,), jnp.int32),
+            ]
+        )
 
-        def trial_dir(alpha, r):
-            dZ_ = jnp.where(r, dZ_r, dZ)
-            ds_ = jnp.where(r, ds_r, ds) if n_in else ds
+        def trial_dir(alpha, di):
+            dZ_ = jnp.where(di == 1, dZ_r, jnp.where(di == 2, dZ_soc, dZ))
+            ds_ = (
+                jnp.where(di == 1, ds_r, jnp.where(di == 2, ds_soc, ds))
+                if n_in
+                else ds
+            )
             return trial(alpha, dZ_, ds_)
 
-        phis_bt, thetas_bt = jax.vmap(trial_dir)(alphas_all, is_rest)
+        phis_all, thetas_all, fs_all, ces_all, cis_all = jax.vmap(trial_dir)(
+            alphas_all, dir_idx
+        )
+        phi_s, theta_s = phis_all[n_grid], thetas_all[n_grid]
+        acc_s, ftype_s = acceptable(a_soc, phi_s, theta_s)
+        use_soc = (~acc_1) & (theta_1 > theta0) & acc_s
+        phis_bt, thetas_bt = phis_all[:n_grid], thetas_all[:n_grid]
+        alphas_all = alphas_all[:n_grid]
         accepts_bt = (
             jax.vmap(acceptable)(alphas_all, phis_bt, thetas_bt)[0] & ~is_rest
         )
@@ -614,7 +668,6 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         first_idx = jnp.argmax(accepts_bt)
         alpha_bt = alphas_all[first_idx]
         theta_bt = thetas_bt[first_idx]
-        alpha_min = a_pri * (0.5**opt.max_ls)
 
         # θ-only sufficient decrease for restoration trials (Armijo on the
         # feasibility measure, slope scaled by the relative step size)
@@ -667,6 +720,23 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         zL_new = zL + a_dual * dzL
         zU_new = zU + a_dual * dzU
 
+        # carry the accepted candidate's residuals/objective into the next
+        # iteration (selection mirrors the α / step-direction precedence
+        # above; every selectable candidate has a trial slot, incl. α_min at
+        # the last one). A frozen lane (stop_now / NaN guard) keeps Z, so it
+        # keeps the current residuals. Note: Z_new and the trial's Zt compute
+        # Z + α·dZ through possibly different fusions (FMA vs mul+add), so
+        # the carry can differ from re-evaluation by ~1 ulp of Z — far below
+        # every tolerance that consumes it.
+        idx_sel = jnp.where(
+            use_soc,
+            n_grid,
+            jnp.where(bt_ok, first_idx, jnp.where(rest_ok, rest_idx, n_grid + 1)),
+        )
+        c_e_sel = jnp.where(acc_1, c_e_full, ces_all[idx_sel])
+        c_i_sel = jnp.where(acc_1, c_i_full, cis_all[idx_sel])
+        f_sel = jnp.where(acc_1, f_full, fs_all[idx_sel])
+
         # NaN guard: a lane whose step went non-finite freezes at its last
         # good iterate (it will terminate at the iteration limit)
         step_ok = (
@@ -674,6 +744,9 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             & jnp.all(jnp.isfinite(s_new))
             & jnp.all(jnp.isfinite(lam_new))
         )
+        took_step = step_ok & (~stop_now)
+        c_e_new = jnp.where(took_step, c_e_sel, c_e)
+        c_i_new = jnp.where(took_step, c_i_sel, c_i)
         Z_new = jnp.where(step_ok, Z_new, Z)
         s_new = jnp.where(step_ok, s_new, s)
         lam_new = jnp.where(step_ok, lam_new, lam)
@@ -709,6 +782,11 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         filter_th = jnp.where(use_rest, jnp.inf, filter_th)
         filter_ph = jnp.where(use_rest, jnp.inf, filter_ph)
         filter_n = jnp.where(use_rest, 0, filter_n)
+        # push this iterate's φ into the non-monotone window (cleared by a
+        # restoration step — the feasibility move left the barrier landscape)
+        slot_h = st.iter % phi_hist.shape[0]
+        phi_hist = jnp.where(stop_now, phi_hist, phi_hist.at[slot_h].set(phi0))
+        phi_hist = jnp.where(use_rest, -jnp.inf, phi_hist)
 
         # ---- local-infeasibility certificate ------------------------------ #
         # Fires when (a) restoration itself stalls for `infeasibility_iter`
@@ -796,7 +874,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             )
 
         # ---- user callbacks ---------------------------------------------- #
-        obj_new = nlp.objective(Z_new)
+        obj_new = jnp.where(took_step, f_sel, st.obj)
         if cb is not None and cb.host_fn is not None:
             info = {
                 "iteration": st.iter,
@@ -839,6 +917,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             filter_th=filter_th,
             filter_ph=filter_ph,
             filter_n=filter_n,
+            phi_hist=phi_hist,
             delta_w_last=jnp.where(delta_fin > 0, delta_fin, st.delta_w_last),
             stall_count=stall_count,
             infeasible=infeasible,
@@ -857,6 +936,8 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             hist_n=hist_n,
             best_score=best_score,
             best_Z=best_Z,
+            c_e=c_e_new,
+            c_i=c_i_new,
         )
 
     def cond(st: IPMState):

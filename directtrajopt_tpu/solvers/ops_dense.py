@@ -68,12 +68,16 @@ def _reg_retry(factor, delta_last, opt, dtype):
 
 
 class _DenseCtx:
-    def __init__(self, nlp: CanonicalNLP, Z, lam, nu):
+    def __init__(self, nlp: CanonicalNLP, Z, lam, nu, cache=None):
         self.nlp = nlp
         self.Z = Z
         self.grad_f = assembly.gradient(nlp, Z)
-        self.c_e = nlp.c_eq(Z)
-        self.c_i = nlp.c_in(Z)
+        if cache is not None:
+            # residuals at Z carried from the line search that accepted it
+            self.c_e, self.c_i = cache
+        else:
+            self.c_e = nlp.c_eq(Z)
+            self.c_i = nlp.c_in(Z)
         self._Je = assembly.jac_eq(nlp, Z)
         self._Ji = assembly.jac_in(nlp, Z)
         self._W = assembly.hess_lagrangian(nlp, Z, lam, nu, 1.0)
@@ -156,5 +160,5 @@ class DenseOps:
     def __init__(self, nlp: CanonicalNLP):
         self.nlp = nlp
 
-    def prepare(self, Z, lam, nu) -> _DenseCtx:
-        return _DenseCtx(self.nlp, Z, lam, nu)
+    def prepare(self, Z, lam, nu, cache=None) -> _DenseCtx:
+        return _DenseCtx(self.nlp, Z, lam, nu, cache)

@@ -289,7 +289,7 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
 
 class _RiccatiCtx:
     def __init__(self, nlp: CanonicalNLP, S: OCPStructure, Z, lam, nu,
-                 pallas_mode: str = "auto"):
+                 pallas_mode: str = "auto", cache=None):
         self.nlp = nlp
         self.S = S
         self.Z = Z
@@ -305,8 +305,14 @@ class _RiccatiCtx:
         self.gvec = gvec
 
         self.grad_f = jax.grad(nlp.objective)(Z)
-        self.c_e = nlp.c_eq(Z)
-        self.c_i = nlp.c_in(Z)
+        if cache is not None:
+            # residuals at Z carried over from the line search that accepted
+            # it (bit-identical to re-evaluating; saves one full c_eq/c_in
+            # evaluation per IPM iteration)
+            self.c_e, self.c_i = cache
+        else:
+            self.c_e = nlp.c_eq(Z)
+            self.c_i = nlp.c_in(Z)
 
         # dynamics Jacobians w.r.t. z_k, stacked in s-order: (N-1, n_s, d);
         # promoted chains contribute their static normalized rows α/β
@@ -1077,5 +1083,7 @@ class RiccatiOps:
 
         self.pallas_mode = os.environ.get("DTX_PALLAS", pallas_mode)
 
-    def prepare(self, Z, lam, nu) -> _RiccatiCtx:
-        return _RiccatiCtx(self.nlp, self.struct, Z, lam, nu, self.pallas_mode)
+    def prepare(self, Z, lam, nu, cache=None) -> _RiccatiCtx:
+        return _RiccatiCtx(
+            self.nlp, self.struct, Z, lam, nu, self.pallas_mode, cache
+        )

@@ -59,6 +59,13 @@ class IPMOptions:
     rho_init: float = 1.0  # initial ℓ1 penalty
     theta_rho: float = 0.5
     max_ls: int = static_field(default=10)
+    # Non-monotone (Grippo-style) acceptance memory: the φ reference in the
+    # Armijo/sufficient-decrease tests is the max over the last `ls_memory`
+    # iterates at the current barrier value (history resets on μ updates,
+    # like the filter). 1 = classic monotone Wächter–Biegler. Cycling is
+    # bounded because f-type classification stays STRICT (relative to the
+    # current φ), so every relaxed acceptance augments the filter.
+    ls_memory: int = static_field(default=1)
     # -- restoration (feasibility fallback folded into the trial grid) ------ #
     # When the filter line search rejects every candidate, the deepest
     # `n_rest_trials` grid slots are re-purposed as trials of a pure
