@@ -52,8 +52,17 @@ def stack_jacobians(integrator, layout: Layout, zmat: jax.Array) -> jax.Array:
     """Per-window residual Jacobians: ``(N-1, x_dim, 2*dim)``."""
     W = windows(zmat)
     ks = jnp.arange(layout.N - 1)
-    jac = jax.jacfwd(lambda w, k: integrator.residual(layout, w, k))
-    return jax.vmap(jac)(W, ks)
+    cols = _window_cols(integrator, layout)
+    if cols is None:
+        jac = jax.jacfwd(lambda w, k: integrator.residual(layout, w, k))
+        return jax.vmap(jac)(W, ks)
+    E, keep = _embedding(cols, 2 * layout.dim, zmat.dtype)
+
+    def res_r(wr, w, k):
+        return integrator.residual(layout, w * keep + wr @ E, k)
+
+    Jr = jax.vmap(jax.jacfwd(res_r, argnums=0))(W @ E.T, W, ks)
+    return Jr @ E
 
 
 def stack_hessians(
@@ -63,14 +72,35 @@ def stack_hessians(
 
     ``mu`` has shape ``(N-1, x_dim)`` (dynamics multipliers per step).
     """
+    d = layout.dim
     W = windows(zmat)
     ks = jnp.arange(layout.N - 1)
+
+    # explicit integrators are linear in z_{k+1}: the whole window Hessian is
+    # the z_k block, which a structure-exploiting hessian_zk provides directly
+    import os
+
+    custom = getattr(integrator, "hessian_zk", None)
+    if custom is not None and not os.environ.get("DTX_NO_CUSTOM_HESS"):
+        Hk = jax.vmap(lambda zk, zk1, k, m: custom(layout, zk, zk1, k, m))(
+            zmat[..., :-1, :], zmat[..., 1:, :], ks, mu
+        )
+        return jnp.pad(Hk, ((0, 0), (0, d), (0, d)))
 
     def lagr(w, k, m):
         return jnp.dot(m, integrator.residual(layout, w, k))
 
-    hess = jax.hessian(lagr)
-    return jax.vmap(lambda w, k, m: hess(w, k, m))(W, ks, mu)
+    cols = _window_cols(integrator, layout)
+    if cols is None:
+        hess = jax.hessian(lagr)
+        return jax.vmap(lambda w, k, m: hess(w, k, m))(W, ks, mu)
+    E, keep = _embedding(cols, 2 * d, zmat.dtype)
+
+    def lagr_r(wr, w, k, m):
+        return lagr(w * keep + wr @ E, k, m)
+
+    Hr = jax.vmap(jax.hessian(lagr_r, argnums=0))(W @ E.T, W, ks, mu)
+    return jnp.einsum("kab,ad,be->kde", Hr, E, E)
 
 
 def _read_cols(integrator, layout: Layout) -> np.ndarray | None:
@@ -91,6 +121,28 @@ def _read_cols(integrator, layout: Layout) -> np.ndarray | None:
     if len(cols) >= layout.dim:
         return None
     return cols
+
+
+def _window_cols(integrator, layout: Layout) -> np.ndarray | None:
+    """Static column indices the residual reads within the 2·dim window, or
+    None for all. The z_k half comes from ``read_cols``; the z_{k+1} half
+    defaults to the target-x columns (explicit form) unless the integrator
+    declares ``read_cols_next`` (e.g. order-1 control splines also read
+    u_{k+1})."""
+    cols_k = _read_cols(integrator, layout)
+    if cols_k is None:
+        return None
+    d = layout.dim
+    fn = getattr(integrator, "read_cols_next", None)
+    if fn is not None:
+        nxt = np.unique(np.asarray(fn(layout), dtype=np.int64))
+    else:
+        x_name = getattr(integrator, "x_name", None)
+        if x_name is None:
+            return None
+        cs = layout.comp_slice(x_name)
+        nxt = np.arange(cs.start, cs.stop, dtype=np.int64)
+    return np.concatenate([cols_k, d + nxt])
 
 
 def _embedding(cols: np.ndarray, dim: int, dtype):

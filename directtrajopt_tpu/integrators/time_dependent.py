@@ -92,6 +92,15 @@ class TimeDependentBilinearIntegrator:
             cols.append(layout.offsets[layout.timestep])
         return cols
 
+    def read_cols_next(self, layout: Layout):
+        """z_{k+1} columns: x always; u too at spline order 1."""
+        cs_x = layout.comp_slice(self.x_name)
+        cols = list(range(cs_x.start, cs_x.stop))
+        if self.spline_order == 1:
+            cs_u = layout.comp_slice(self.u_name)
+            cols += list(range(cs_u.start, cs_u.stop))
+        return cols
+
     def residual(self, layout: Layout, w: jax.Array, k: jax.Array) -> jax.Array:
         dim = layout.dim
         zk, zk1 = w[:dim], w[dim:]
