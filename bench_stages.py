@@ -64,17 +64,31 @@ def main():
     st = res15.ipm.state
     jax.block_until_ready(st.Z)
 
-    # ---- stage functions (per instance; vmapped over the problem pytree) --- #
-    def _with_ctx(fn):
-        def run(problem, Z, lam, nu, s, zL, zU, mu):
-            nlp = make_nlp(problem)
-            from directtrajopt_tpu.solvers.ops_riccati import RiccatiOps
+    # ---- stage functions, each run K times inside ONE compiled fori_loop ---- #
+    # A single dispatch through the (axon-tunneled) runtime floors at ~30 ms,
+    # which used to swamp every per-stage number; the finite difference of two
+    # in-loop trip counts cancels the dispatch cost exactly (the same method
+    # behind iter_marginal). Each trip carries a data dependency so XLA cannot
+    # hoist or dedupe the work.
+    K1, K2 = 4, 12
 
-            ops = RiccatiOps(nlp)
-            ctx = ops.prepare(Z, lam, nu)
-            return fn(nlp, ctx, Z, lam, nu, s, zL, zU, mu)
+    def _loop_marginal(make_body, tag):
+        def runner(K):
+            def run(problem, Z, lam, nu, s, zL, zU, mu, dlast):
+                nlp = make_nlp(problem)
+                from directtrajopt_tpu.solvers.ops_riccati import RiccatiOps
 
-        return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, 0, 0, 0, 0, 0)))
+                ops = RiccatiOps(nlp)
+                body = make_body(nlp, ops, Z, lam, nu, s, zL, zU, mu, dlast)
+                return jax.lax.fori_loop(0, K, body, Z)
+
+            return jax.jit(jax.vmap(run, in_axes=(0,) * 9))
+
+        args = (batch, st.Z, st.lam, st.nu, st.s, st.zL, st.zU, st.mu,
+                st.delta_w_last)
+        t1 = _timeit(runner(K1), *args)
+        t2 = _timeit(runner(K2), *args)
+        return (t2 - t1) / (K2 - K1)
 
     def _sigmas(nlp, ctx, Z, s, zL, zU, nu, mu, dtype):
         lb, ub = nlp.lb.astype(dtype), nlp.ub.astype(dtype)
@@ -97,54 +111,83 @@ def main():
             g_hat = g_hat + ctx.JiT(mu / s + D * (ctx.c_i + s))
         return Sig, D, free * g_hat
 
-    def stage_prepare(nlp, ctx, Z, lam, nu, s, zL, zU, mu):
-        return ctx.grad_f, ctx.c_e, ctx.QW
+    def mk_residual(nlp, ops, Z, lam, nu, s, zL, zU, mu, dlast):
+        def body(i, z):
+            v = jnp.sum(nlp.c_eq(z)) + jnp.sum(nlp.c_in(z)) + nlp.objective(z)
+            return z * (1.0 + 1e-30 * v)
 
-    def stage_kkt(nlp, ctx, Z, lam, nu, s, zL, zU, mu):
+        return body
+
+    def mk_prepare(nlp, ops, Z, lam, nu, s, zL, zU, mu, dlast):
+        def body(i, z):
+            ctx = ops.prepare(z, lam, nu)
+            v = jnp.sum(ctx.QW) + jnp.sum(ctx.Jr) + jnp.sum(ctx.grad_f)
+            return z * (1.0 + 1e-30 * v)
+
+        return body
+
+    def mk_kkt(nlp, ops, Z, lam, nu, s, zL, zU, mu, dlast):
         dtype = Z.dtype
-        Sig, D, g_hat = _sigmas(nlp, ctx, Z, s, zL, zU, nu, mu, dtype)
-        dZ, lam_p, ok, delta, _ = ctx.kkt_step(
-            Sig, D, g_hat, -ctx.c_e, jnp.zeros((), dtype), opt.astype(dtype)
-        )
-        return dZ, lam_p, delta
+        ctx = ops.prepare(Z, lam, nu)
+        Sig, D, g0 = _sigmas(nlp, ctx, Z, s, zL, zU, nu, mu, dtype)
 
-    def stage_kkt_plus_soc(nlp, ctx, Z, lam, nu, s, zL, zU, mu):
+        def body(i, z):
+            g = g0 * (1.0 + 1e-30 * jnp.sum(z))
+            dZ, lam_p, ok, delta, _ = ctx.kkt_step(
+                Sig, D, g, -ctx.c_e, dlast, opt.astype(dtype)
+            )
+            return z * (1.0 + 1e-30 * jnp.sum(dZ))
+
+        return body
+
+    def mk_kkt_soc(nlp, ops, Z, lam, nu, s, zL, zU, mu, dlast):
         dtype = Z.dtype
-        Sig, D, g_hat = _sigmas(nlp, ctx, Z, s, zL, zU, nu, mu, dtype)
-        dZ, lam_p, ok, delta, resolve = ctx.kkt_step(
-            Sig, D, g_hat, -ctx.c_e, jnp.zeros((), dtype), opt.astype(dtype)
-        )
-        dZ2, lam2 = resolve(-g_hat, -ctx.c_e * 0.5)
-        return dZ, dZ2
+        ctx = ops.prepare(Z, lam, nu)
+        Sig, D, g0 = _sigmas(nlp, ctx, Z, s, zL, zU, nu, mu, dtype)
 
-    def stage_residual(nlp, ctx, Z, lam, nu, s, zL, zU, mu):
-        return nlp.c_eq(Z), nlp.c_in(Z), nlp.objective(Z)
+        def body(i, z):
+            g = g0 * (1.0 + 1e-30 * jnp.sum(z))
+            dZ, lam_p, ok, delta, resolve = ctx.kkt_step(
+                Sig, D, g, -ctx.c_e, dlast, opt.astype(dtype)
+            )
+            rz2 = jnp.stack([-g, -g0])
+            rc2 = jnp.stack([-ctx.c_e, -0.5 * ctx.c_e])
+            dZ2, _ = resolve.many(rz2, rc2)
+            return z * (1.0 + 1e-30 * (jnp.sum(dZ) + jnp.sum(dZ2)))
 
-    def stage_ls_grid(nlp, ctx, Z, lam, nu, s, zL, zU, mu):
+        return body
+
+    def mk_ls_grid(nlp, ops, Z, lam, nu, s, zL, zU, mu, dlast):
         dtype = Z.dtype
-        dZ = jnp.sin(Z)  # synthetic direction; cost is evaluation-dominated
         alphas = 0.5 ** jnp.arange(1, 11, dtype=dtype)
 
-        def trial(a):
-            Zt = nlp.apply_pins(Z + a * dZ)
-            return nlp.objective(Zt), jnp.sum(jnp.abs(nlp.c_eq(Zt))), jnp.sum(
-                jnp.abs(nlp.c_in(Zt))
-            )
+        def body(i, z):
+            dZ = jnp.sin(z)  # synthetic direction; cost is evaluation-bound
 
-        return jax.vmap(trial)(alphas)
+            def trial(a):
+                Zt = nlp.apply_pins(z + a * dZ)
+                return (
+                    nlp.objective(Zt)
+                    + jnp.sum(jnp.abs(nlp.c_eq(Zt)))
+                    + jnp.sum(jnp.abs(nlp.c_in(Zt)))
+                )
+
+            v = jnp.sum(jax.vmap(trial)(alphas))
+            return z * (1.0 + 1e-30 * v)
+
+        return body
 
     stages = {
-        "prepare": _with_ctx(stage_prepare),
-        "residual": _with_ctx(stage_residual),
-        "kkt_step": _with_ctx(stage_kkt),
-        "kkt_step+soc": _with_ctx(stage_kkt_plus_soc),
-        "ls_grid10": _with_ctx(stage_ls_grid),
+        "prepare": mk_prepare,
+        "residual": mk_residual,
+        "kkt_step": mk_kkt,
+        "kkt_step+soc2": mk_kkt_soc,
+        "ls_grid10": mk_ls_grid,
     }
 
-    args = (batch, st.Z, st.lam, st.nu, st.s, st.zL, st.zU, st.mu)
     report = {}
-    for name, fn in stages.items():
-        ms = _timeit(fn, *args)
+    for name, mk in stages.items():
+        ms = _loop_marginal(mk, name)
         report[name] = round(ms, 3)
         print(f"{name:16s} {ms:8.2f} ms / batch of {B}", file=sys.stderr)
 
@@ -160,7 +203,7 @@ def main():
     print(f"{'iter_marginal':16s} {per_iter:8.2f} ms / batch of {B}", file=sys.stderr)
 
     payload = {
-        "schema": "dtx-bench-stages-v1",
+        "schema": "dtx-bench-stages-v2",
         "device": str(dev),
         "platform": dev.platform,
         "batch": B,

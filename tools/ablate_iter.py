@@ -38,6 +38,11 @@ def main():
             os.environ[k] = v
         solve_mod._batched_solver.cache_clear()
         times = {}
+        conv36 = int(
+            np.asarray(
+                solve_batch(batch, max_iter=36, **base).converged
+            ).sum()
+        )
         for mi in (I0, I1):
             fn = lambda: solve_batch(batch, max_iter=mi, **base)
             fn().kkt_error.block_until_ready()
@@ -50,11 +55,12 @@ def main():
         for k in env:
             del os.environ[k]
         ms = (times[I1] - times[I0]) / (I1 - I0) * 1e3
-        print(f"{tag:>16s}: {ms:7.3f} ms/iter", flush=True)
+        print(f"{tag:>16s}: {ms:7.3f} ms/iter  conv@36 {conv36}/{B}", flush=True)
 
     marginal("all-on", {})
-    marginal("no-custom-hess", {"DTX_NO_CUSTOM_HESS": "1"})
-    marginal("no-readcols", {"DTX_NO_READCOLS": "1", "DTX_NO_CUSTOM_HESS": "1"})
+    marginal("custom-only", {"DTX_NO_READCOLS": "1"})
+    marginal("readcols-only", {"DTX_NO_CUSTOM_HESS": "1"})
+    marginal("neither", {"DTX_NO_READCOLS": "1", "DTX_NO_CUSTOM_HESS": "1"})
 
 
 if __name__ == "__main__":
