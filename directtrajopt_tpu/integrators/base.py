@@ -105,11 +105,14 @@ def stack_hessians(
 
 def _read_cols(integrator, layout: Layout) -> np.ndarray | None:
     """Static z_k-column indices the integrator's residual reads, or None
-    for "all of them". Differentiating only these columns (and scattering the
-    blocks back to full width) cuts the AD tangent count quadratically for
-    the Hessian — on the N=51 bilinear benchmark (reads x,u,Δt = 7 of 11
-    knot coordinates) the context-build (`prepare`) cost dominates the IPM
-    iteration, and 121→49 Hessian tangent pairs is the difference."""
+    for "all of them". Differentiating only these columns (through one-hot
+    embedding matmuls) shrinks the AD tangent count quadratically for the
+    Hessian. Measured caveat: for the *small* z_k blocks of the Riccati path
+    (d≈11) the generic full-width AD is FASTER — XLA batches the dual-number
+    tangents into one widened pass, while the embedding form adds unfused
+    ops (CPU B=8: 22.0 → 26.7 ms/IPM-iteration; TPU B=256: 8.3 → ~10.5).
+    The restriction pays off on the 2·dim dense *window* path, where the
+    tangent count doubles. Hence the two gates below."""
     import os
 
     if os.environ.get("DTX_NO_READCOLS"):  # perf-ablation escape hatch
@@ -166,9 +169,12 @@ def stack_jacobians_zk(integrator, layout: Layout, zmat: jax.Array) -> jax.Array
     nontrivial Jacobian — the ``z_{k+1}`` part is the identity selection of
     the target components. Used by the Riccati KKT backend.
     """
+    import os
+
     dim = layout.dim
     ks = jnp.arange(layout.N - 1)
-    cols = _read_cols(integrator, layout)
+    # generic full-width AD by default: fastest at z_k width (see _read_cols)
+    cols = _read_cols(integrator, layout) if os.environ.get("DTX_ZK_READCOLS") else None
 
     if cols is None:
 
@@ -202,17 +208,21 @@ def stack_hessians_zk(
 
     import os
 
-    # structure-exploiting per-integrator Hessian (e.g. the bilinear
-    # integrator's linearity in x cuts the AD pair count ~4×)
+    # structure-exploiting per-integrator Hessian (the bilinear integrator's
+    # linearity in x). OFF by default here: at z_k width the generic batched
+    # forward-over-reverse is FASTER than the custom form's extra exp chains
+    # (CPU B=8 QW build: 3.5 → 13.0 ms with it on) — it pays off only on the
+    # 2·dim dense-window path (stack_hessians), which uses it directly.
     custom = getattr(integrator, "hessian_zk", None)
-    if os.environ.get("DTX_NO_CUSTOM_HESS"):  # perf-ablation escape hatch
+    if not os.environ.get("DTX_ZK_CUSTOM_HESS"):
         custom = None
     if custom is not None:
         return jax.vmap(lambda zk, zk1, k, m: custom(layout, zk, zk1, k, m))(
             zmat[..., :-1, :], zmat[..., 1:, :], ks, mu
         )
 
-    cols = _read_cols(integrator, layout)
+    # generic full-width AD by default (see _read_cols note)
+    cols = _read_cols(integrator, layout) if os.environ.get("DTX_ZK_READCOLS") else None
 
     if cols is None:
 

@@ -57,10 +57,10 @@ def main():
         ms = (times[I1] - times[I0]) / (I1 - I0) * 1e3
         print(f"{tag:>16s}: {ms:7.3f} ms/iter  conv@36 {conv36}/{B}", flush=True)
 
-    marginal("all-on", {})
-    marginal("custom-only", {"DTX_NO_READCOLS": "1"})
-    marginal("readcols-only", {"DTX_NO_CUSTOM_HESS": "1"})
-    marginal("neither", {"DTX_NO_READCOLS": "1", "DTX_NO_CUSTOM_HESS": "1"})
+    marginal("default(generic)", {})
+    marginal("zk-readcols", {"DTX_ZK_READCOLS": "1"})
+    marginal("zk-custom", {"DTX_ZK_CUSTOM_HESS": "1"})
+    marginal("zk-both", {"DTX_ZK_READCOLS": "1", "DTX_ZK_CUSTOM_HESS": "1"})
 
 
 if __name__ == "__main__":
