@@ -30,10 +30,38 @@ def take_batch(tree, idx):
     return jax.tree.map(lambda x: x[idx], tree)
 
 
+def _tpu_tunnel_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the (axon-tunneled) TPU backend in a subprocess with a timeout.
+
+    ``jax.devices()`` blocks indefinitely when the tunnel is down; probing
+    in-process would hang the whole benchmark run. A dead tunnel downgrades
+    the run to CPU so the driver still gets its one JSON line."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import os
 
+    if not _tpu_tunnel_alive():
+        print("TPU tunnel unresponsive — falling back to CPU", file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"  # read by the subprocess-free path
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # sitecustomize imports jax before env vars are read; set it directly
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent compile cache: the batched-IPM XLA program is identical
     # across runs; a warm cache removes minutes of (tunnel) compile time
