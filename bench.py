@@ -93,8 +93,15 @@ def main():
     # converges FEWER lanes (79-83/89 vs 87/89) — on this nonconvex family
     # mid-flight duals centered for the old μ fight the restarted barrier.
     CONT = min(128, BATCH)
-    PH1, PH2 = (36, 92) if on_tpu else (64, 200)
+    PH1, PH2 = (20, 64) if on_tpu else (64, 200)
     MU1, MU2 = (3e-2, 1e-3) if on_tpu else (1e-1, 1e-2)
+    # Aggressive barrier schedule for the acceptable-band target: κ_ε=100
+    # lets μ drop as soon as the inner error is within 100·μ, κ_μ=0.1 plunges
+    # it; measured on the CPU-f32 proxy (B=64): iterations med 19→16,
+    # p90 69→27, max 119→41 at identical convergence (64/64) and identical
+    # acceptable-band KKT quality. NOT a default: at strict tol=1e-8 the same
+    # schedule outruns the central path and grinds (golden f64 check).
+    sched = dict(kappa_epsilon=100.0, kappa_mu=0.1) if on_tpu else {}
 
     batch = make_batched_bilinear_problems(BATCH, N=N, feasible_start=True)
 
@@ -106,6 +113,7 @@ def main():
         tol=1e-5 if on_tpu else 1e-8,
         acceptable_tol=5e-4 if on_tpu else 1e-6,
         acceptable_iter=1,
+        **sched,
     )
     kw1 = dict(kwargs, mu_init=MU1)
     kw2 = dict(kwargs, mu_init=MU2)
