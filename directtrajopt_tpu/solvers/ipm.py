@@ -364,15 +364,30 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             # reset the filter only on large barrier drops
             mu_update = mu <= 0.1 * st.mu
         else:
-            mu_update = e_mu <= opt.kappa_epsilon * st.mu
-            mu = jnp.where(
-                mu_update,
-                jnp.maximum(
-                    opt.tol / 10.0,
-                    jnp.minimum(opt.kappa_mu * st.mu, st.mu**opt.theta_mu),
-                ),
-                st.mu,
+            # two-regime Fiacco–McCormick: far from the endgame the inner
+            # subproblem is solved loosely and μ plunges; once μ nears tol
+            # the classic κ_ε/κ_μ take over so strict tolerances still track
+            # the central path (options.py: kappa_epsilon_far rationale)
+            switch_level = opt.mu_switch_factor * opt.tol
+            endgame = st.mu <= switch_level
+            k_eps_far = jnp.where(
+                opt.kappa_epsilon_far > 0, opt.kappa_epsilon_far, opt.kappa_epsilon
             )
+            k_mu_far = jnp.where(
+                opt.kappa_mu_far > 0, opt.kappa_mu_far, opt.kappa_mu
+            )
+            k_eps = jnp.where(endgame, opt.kappa_epsilon, k_eps_far)
+            k_mu = jnp.where(endgame, opt.kappa_mu, k_mu_far)
+            mu_update = e_mu <= k_eps * st.mu
+            mu_raw = jnp.maximum(
+                opt.tol / 10.0,
+                jnp.minimum(k_mu * st.mu, st.mu**opt.theta_mu),
+            )
+            # the far regime may not skip past the endgame boundary: the
+            # superlinear μ^θ term would otherwise jump a loosely-centered
+            # iterate straight to the μ floor, leaving nothing to recenter at
+            mu_raw = jnp.where(endgame, mu_raw, jnp.maximum(mu_raw, switch_level))
+            mu = jnp.where(mu_update, mu_raw, st.mu)
         if options.mu_strategy != "mehrotra":
             filter_th = jnp.where(mu_update, jnp.inf, st.filter_th)
             filter_ph = jnp.where(mu_update, jnp.inf, st.filter_ph)

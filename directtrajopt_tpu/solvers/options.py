@@ -38,6 +38,20 @@ class IPMOptions:
     kappa_mu: float = 0.2  # linear μ decrease factor
     theta_mu: float = 1.5  # superlinear μ decrease exponent
     kappa_epsilon: float = 10.0  # inner-loop tolerance κ_ε·μ
+    # Optional two-regime schedule: while μ > mu_switch_factor·tol the
+    # *_far constants apply and the update is floored at the switch level.
+    # OFF by default (factor 0 ⇒ single classic regime). Measured on the
+    # N=51 bilinear family: a uniformly aggressive κ_ε=100/κ_μ=0.1 halves
+    # the acceptable-band iteration tail (p90 69→27, max 119→41 — what
+    # bench.py passes explicitly), but as a *default* the two-regime hybrid
+    # loses both ways: the strict-tol endgame pays ~12× iterations to
+    # recover centering after the loose phase (golden f64: 223 vs 19), and
+    # the switch floor alone costs band tail (p90 27→38). Keep the base
+    # schedule for general use; pass aggressive constants per solve when
+    # targeting an acceptable band.
+    kappa_epsilon_far: float = 0.0  # 0 = inherit kappa_epsilon
+    kappa_mu_far: float = 0.0  # 0 = inherit kappa_mu
+    mu_switch_factor: float = 0.0  # 0 = classic single-regime (default)
     tau_min: float = 0.99  # fraction-to-boundary
     kappa_sigma: float = 1e10  # dual safeguard clamp
     # "least_squares": initialize equality multipliers from one extra KKT
