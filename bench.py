@@ -101,7 +101,14 @@ def main():
     # p90 69→27, max 119→41 at identical convergence (64/64) and identical
     # acceptable-band KKT quality. NOT a default: at strict tol=1e-8 the same
     # schedule outruns the central path and grinds (golden f64 check).
-    sched = dict(kappa_epsilon=100.0, kappa_mu=0.1) if on_tpu else {}
+    # delta_w_mu_scale=0: the proximal δ_w≥μ floor (a large win at strict
+    # tolerances, options.py) measures slightly WORSE in this plunge-fast
+    # acceptable-band regime (CPU proxy: p90 26→34) — disable it here
+    sched = (
+        dict(kappa_epsilon=100.0, kappa_mu=0.1, delta_w_mu_scale=0.0)
+        if on_tpu
+        else {}
+    )
 
     batch = make_batched_bilinear_problems(BATCH, N=N, feasible_start=True)
 

@@ -154,6 +154,15 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         ops = DenseOps(nlp)
 
     dtype = Z0.dtype
+    # mixed-precision residual refinement (options.py: refine_residuals):
+    # f64 residuals/RHS inside the f32 solver. No-op when already f64.
+    hi = bool(options.refine_residuals) and dtype == jnp.float32
+    if hi and not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "refine_residuals needs the f64 residual path: enable it with "
+            'jax.config.update("jax_enable_x64", True) before tracing'
+        )
+    f64 = jnp.float64
     opt = options.astype(dtype)
     z_dim, n_eq, n_in = nlp.z_dim, nlp.n_eq, nlp.n_in
     lb, ub = nlp.lb.astype(dtype), nlp.ub.astype(dtype)
@@ -284,8 +293,38 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         ctx = ops.prepare(Z, lam, nu, cache=(st.c_e, st.c_i))
         gf, c_e, c_i = ctx.grad_f, ctx.c_e, ctx.c_i
 
+        if hi:
+            # f64 residual bundle: every quantity below is small near the
+            # solution only because O(1) terms cancel — do the cancellation
+            # in f64, cast the small result back (relative precision is
+            # preserved by the cast; the f32 *evaluation* error was absolute)
+            Z64 = Z.astype(f64)
+            gf64 = jax.grad(nlp.objective)(Z64)
+            c_e64, vjp_e = jax.vjp(nlp.c_eq, Z64)
+            c_i64, vjp_i = jax.vjp(nlp.c_in, Z64)
+            free64 = free.astype(f64)
+            JeTlam64 = (
+                free64 * vjp_e(lam.astype(f64))[0]
+                if n_eq
+                else jnp.zeros_like(Z64)
+            )
+            gf, c_e, c_i = (
+                gf64.astype(dtype),
+                c_e64.astype(dtype),
+                c_i64.astype(dtype),
+            )
+
         # ---- optimality errors at the current iterate -------------------- #
-        r_dual = free * (gf + ctx.JeT(lam) + ctx.JiT(nu) - zL + zU)
+        if hi:
+            JiTnu64 = (
+                vjp_i(nu.astype(f64))[0] if n_in else jnp.zeros_like(Z64)
+            )
+            r_dual = (
+                free64
+                * (gf64 + JeTlam64 + JiTnu64 - zL.astype(f64) + zU.astype(f64))
+            ).astype(dtype)
+        else:
+            r_dual = free * (gf + ctx.JeT(lam) + ctx.JiT(nu) - zL + zU)
         z_sum = jnp.sum(jnp.abs(lam)) + jnp.sum(jnp.abs(nu))
         b_sum = jnp.sum(jnp.abs(zL)) + jnp.sum(jnp.abs(zU))
         n_tot = jnp.maximum(1, n_eq + n_in + 2 * z_dim)
@@ -297,17 +336,27 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             jnp.max(jnp.abs(c_i + s), initial=0.0),
         )
 
+        if hi:
+            # complementarity products in f64 (dL·zL ≈ μ only by cancellation
+            # of the f32-absolute rounding in dL when a bound is nearly active)
+            dLc = jnp.where(has_L, Z64 - lb.astype(f64), 1.0)
+            dUc = jnp.where(has_U, ub.astype(f64) - Z64, 1.0)
+            zLc, zUc = zL.astype(f64), zU.astype(f64)
+            sc_, nuc = s.astype(f64), nu.astype(f64)
+        else:
+            dLc, dUc, zLc, zUc, sc_, nuc = dL, dU, zL, zU, s, nu
+
         def comp_err(mu_val):
-            comp_L = jnp.where(mask_L, dL * zL - mu_val, 0.0)
-            comp_U = jnp.where(mask_U, dU * zU - mu_val, 0.0)
-            comp_s = s * nu - mu_val
+            comp_L = jnp.where(mask_L, dLc * zLc - mu_val, 0.0)
+            comp_U = jnp.where(mask_U, dUc * zUc - mu_val, 0.0)
+            comp_s = sc_ * nuc - mu_val
             return jnp.maximum(
                 jnp.maximum(
                     jnp.max(jnp.abs(comp_L), initial=0.0),
                     jnp.max(jnp.abs(comp_U), initial=0.0),
                 ),
                 jnp.max(jnp.abs(comp_s), initial=0.0),
-            )
+            ).astype(dtype)
 
         base_err = jnp.maximum(inf_du / s_d, inf_pr)
         e_mu = jnp.maximum(base_err, comp_err(st.mu) / s_c)
@@ -401,6 +450,36 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         Sig = (SigL + SigU) * free
         D = nu / s if n_in else jnp.zeros((0,), dtype=dtype)
 
+        # per-iteration proximal δ_w floor (options.py: delta_w_min rationale)
+        opt_k = opt.replace(
+            delta_w_min=jnp.maximum(
+                opt.delta_w_min, opt.delta_w_mu_scale * mu
+            )
+        )
+
+        def build_g_hat(mu_v):
+            """Condensed-KKT right-hand side at barrier value ``mu_v``.
+
+            Under residual refinement the whole expression is evaluated in
+            f64 and shifted by the f64 Jᵀλ: the shifted RHS is the barrier
+            dual residual (small near the solution by cancellation of O(1)
+            terms), so the cast to f32 keeps full relative precision and the
+            KKT solve returns the multiplier increment Δλ instead of λ⁺."""
+            if hi:
+                mu64 = mu_v.astype(f64)
+                g = (
+                    gf64
+                    - jnp.where(mask_L, mu64 / dLc, 0.0)
+                    + jnp.where(mask_U, mu64 / dUc, 0.0)
+                )
+                if n_in:
+                    g = g + vjp_i(mu64 / sc_ + (nuc / sc_) * (c_i64 + sc_))[0]
+                return (free64 * (g + JeTlam64)).astype(dtype)
+            g = gf - jnp.where(mask_L, mu_v / dL, 0.0) + jnp.where(mask_U, mu_v / dU, 0.0)
+            if n_in:
+                g = g + ctx.JiT(mu_v / s + D * (c_i + s))
+            return free * g
+
         if options.mu_strategy == "mehrotra":
             # ---- affine-scaling probe (Mehrotra): factor once, solve the
             # μ=0 system, measure the complementarity it would reach, and
@@ -410,7 +489,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
                 g_aff = g_aff + ctx.JiT(D * (c_i + s))
             g_aff = free * g_aff
             dZ_a, _, ok, delta_fin, resolve = ctx.kkt_step(
-                Sig, D, g_aff, -c_e, st.delta_w_last, opt
+                Sig, D, g_aff, -c_e, st.delta_w_last, opt_k
             )
             if n_in:
                 ds_a = -(c_i + s) - ctx.Ji(dZ_a)
@@ -467,24 +546,17 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             filter_n = jnp.where(mu_update, 0, filter_n)
             phi_hist = jnp.where(mu_update, -jnp.inf, phi_hist)
 
-            g_hat = (
-                gf
-                - jnp.where(mask_L, mu / dL, 0.0)
-                + jnp.where(mask_U, mu / dU, 0.0)
-            )
-            if n_in:
-                g_hat = g_hat + ctx.JiT(mu / s + D * (c_i + s))
-            g_hat = free * g_hat
+            g_hat = build_g_hat(mu)
             dZ, lam_plus = resolve(-g_hat, -c_e)
         else:
-            g_hat = gf - jnp.where(mask_L, mu / dL, 0.0) + jnp.where(mask_U, mu / dU, 0.0)
-            if n_in:
-                g_hat = g_hat + ctx.JiT(mu / s + D * (c_i + s))
-            g_hat = free * g_hat
-
+            g_hat = build_g_hat(mu)
             dZ, lam_plus, ok, delta_fin, resolve = ctx.kkt_step(
-                Sig, D, g_hat, -c_e, st.delta_w_last, opt
+                Sig, D, g_hat, -c_e, st.delta_w_last, opt_k
             )
+        if hi:
+            # the RHS shift by Jᵀλ adds (0, −λ) to the exact solution, so the
+            # solver's multiplier output is the increment Δλ, not λ⁺
+            lam_plus = lam + lam_plus
 
         # ---- recover eliminated directions ------------------------------- #
         if n_in:
@@ -553,10 +625,17 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             # is classified non-f-type and therefore augments the filter,
             # which bounds non-monotone cycling
             f_type = switch & (phi_t <= phi0 + opt.eta_ls * alpha * Dphi)
+            # optional relative θ-growth cap (options.py: theta_growth_cap)
+            cap = jnp.where(
+                opt.theta_growth_cap > 0,
+                jnp.maximum(opt.theta_growth_cap * theta0, st.theta_min),
+                jnp.asarray(jnp.inf, dtype=dtype),
+            )
             accept = (
                 accept
                 & vs_filter
                 & (theta_t <= st.theta_max)
+                & (theta_t <= cap)
                 & jnp.isfinite(phi_t)
                 & jnp.isfinite(theta_t)
             )
@@ -577,9 +656,19 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         # first trial at the full step; its residuals are shared with the SOC
         Z_full = nlp.apply_pins(Z + a_pri * dZ)
         s_full = s + a_pri * ds
-        c_e_full = nlp.c_eq(Z_full)
-        c_i_full = nlp.c_in(Z_full)
-        f_full = nlp.objective(Z_full)
+        if hi:
+            # near the floor the θ/φ decrease of the accepting (usually full)
+            # step is below f32 evaluation noise — judge it on f64 residuals.
+            # Backtracking-grid trials stay f32: they matter far from the
+            # solution, where f32 is plenty.
+            Zf64 = Z_full.astype(f64)
+            c_e_full = nlp.c_eq(Zf64).astype(dtype)
+            c_i_full = nlp.c_in(Zf64).astype(dtype)
+            f_full = nlp.objective(Zf64).astype(dtype)
+        else:
+            c_e_full = nlp.c_eq(Z_full)
+            c_i_full = nlp.c_in(Z_full)
+            f_full = nlp.objective(Z_full)
         phi_1, theta_1 = barrier_phi_from(
             f_full, Z_full, s_full, mu, c_e_full, c_i_full
         )
@@ -610,6 +699,10 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             dZ_r = dZ2[1]
         else:
             dZ_soc, lam_soc = resolve(-g_hat - g_soc, -c_soc)
+        if hi:
+            # g_hat carries the Jᵀλ shift, so the SOC multiplier output is
+            # an increment too (the restoration row's multiplier is discarded)
+            lam_soc = lam + lam_soc
         ds_soc = -(ci_soc) - ctx.Ji(dZ_soc) if n_in else jnp.zeros((0,), dtype=dtype)
         a_soc = max_primal_step(dZ_soc, ds_soc)
 
@@ -789,19 +882,31 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         # ---- filter augmentation (on non-f-type acceptance); a restoration
         # step instead clears the filter — its entries described a barrier
         # landscape the feasibility move just left ------------------------- #
+        # Full line-search collapse (no trial of ANY direction accepted, only
+        # the α_min fallback): do NOT augment — adding the current (θ0, φ0)
+        # makes every nearby trial filter-dominated, freezing the lane at
+        # α_min until a (false) infeasibility certificate fires. This is the
+        # filter-IPM analog of Ipopt's "restoration phase called at an almost
+        # feasible point" failure; clearing the filter restarts acceptance
+        # from the current point (genuine infeasibility is still caught: the
+        # stall counter + stationarity certificate below don't use the
+        # filter).
+        ls_collapse = (~acc_1) & (~use_soc) & (~bt_ok) & (~stop_now)
+        collapse_clear = ls_collapse & (~use_rest)
         slot = filter_n % _FILTER_SIZE
-        augment = (~f_type_step) & (~stop_now) & (~use_rest)
+        augment = (~f_type_step) & (~stop_now) & (~use_rest) & (~collapse_clear)
         filter_th = jnp.where(augment, filter_th.at[slot].set(theta0), filter_th)
         filter_ph = jnp.where(augment, filter_ph.at[slot].set(phi0), filter_ph)
         filter_n = filter_n + jnp.where(augment, 1, 0)
-        filter_th = jnp.where(use_rest, jnp.inf, filter_th)
-        filter_ph = jnp.where(use_rest, jnp.inf, filter_ph)
-        filter_n = jnp.where(use_rest, 0, filter_n)
+        clear_f = use_rest | collapse_clear
+        filter_th = jnp.where(clear_f, jnp.inf, filter_th)
+        filter_ph = jnp.where(clear_f, jnp.inf, filter_ph)
+        filter_n = jnp.where(clear_f, 0, filter_n)
         # push this iterate's φ into the non-monotone window (cleared by a
         # restoration step — the feasibility move left the barrier landscape)
         slot_h = st.iter % phi_hist.shape[0]
         phi_hist = jnp.where(stop_now, phi_hist, phi_hist.at[slot_h].set(phi0))
-        phi_hist = jnp.where(use_rest, -jnp.inf, phi_hist)
+        phi_hist = jnp.where(clear_f, -jnp.inf, phi_hist)
 
         # ---- local-infeasibility certificate ------------------------------ #
         # Fires when (a) restoration itself stalls for `infeasibility_iter`
@@ -842,7 +947,6 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         # main-direction trials rejected) and neither the restoration trial
         # nor the α_min fallback moved θ meaningfully — including the case
         # where restoration itself was rejected because no θ decrease exists
-        ls_collapse = (~acc_1) & (~use_soc) & (~bt_ok) & (~stop_now)
         stalled = ls_collapse & (theta_sel > opt.rest_stall_kappa * theta0)
         made_progress = theta_sel <= 0.9 * theta0
         stall_count = jnp.where(

@@ -40,11 +40,21 @@ def _reg_retry(factor, delta_last, opt, dtype):
     and skip the near-certain δ=0 failure — measured ~25-40% of IPM wall
     time on the bilinear benchmark. δ still decays ÷3 per iteration, so it
     drifts back to 0 within a few iterations once curvature turns convex.
-    ``factor(δ) -> (carry..., ok)``."""
-    delta0 = jnp.where(
-        delta_last > 0,
-        jnp.maximum(opt.delta_w_init, delta_last / 3.0),
-        jnp.zeros((), dtype=dtype),
+    ``factor(δ) -> (carry..., ok)``.
+
+    ``opt.delta_w_min`` is an unconditional proximal floor: inertia-triggered
+    regularization cannot see *nearly*-singular curvature (a +1e-7 eigenvalue
+    passes the Cholesky test at δ=0, and the Newton step along that direction
+    is then enormous). Problems with gauge/flat directions — e.g. free-time
+    bilinear problems where only u is determined at the optimum — need a
+    small always-on Levenberg-style shift to bound steps along the valley."""
+    delta0 = jnp.maximum(
+        opt.delta_w_min,
+        jnp.where(
+            delta_last > 0,
+            jnp.maximum(opt.delta_w_init, delta_last / 3.0),
+            jnp.zeros((), dtype=dtype),
+        ),
     )
     first = factor(delta0)
     first_bump = jnp.where(

@@ -65,11 +65,32 @@ class IPMOptions:
     # Like the adaptive-μ experiments, it stays available but off.
     dual_init: str = static_field(default="zero")
     lam_init_max: float = 1e3
+    # Mixed-precision residual refinement (static: changes the traced graph).
+    # When the solve dtype is f32, evaluate the cancellation-limited
+    # quantities — c_eq/c_in, ∇f, the dual residual ∇f+Jᵀλ+Jᵀν−zL+zU, the
+    # condensed KKT right-hand side, and the full-step line-search trial —
+    # in f64 (XLA-emulated on TPU) and cast the *small results* back to f32.
+    # The KKT solve runs in incremental-multiplier form (RHS shifted by the
+    # f64 Jᵀλ so it is the small barrier dual residual, which f32 represents
+    # to full relative precision) — textbook iterative refinement with an f32
+    # factorization and f64 residuals. Pushes the f32 KKT floor from ~1e-4
+    # to the Z-quantization floor (~1e-6 at ‖Z‖≈1) at a fraction of the cost
+    # of a full-f64 solve: only ~8 residual-pass equivalents per iteration
+    # run in f64; Jacobians, Hessians, and the factorization stay f32.
+    # Requires jax_enable_x64. No-op when the solve dtype is already f64.
+    refine_residuals: bool = static_field(default=False)
     bound_push: float = 1e-2  # κ₁: push initial point inside bounds
     bound_frac: float = 1e-2  # κ₂
     slack_min: float = 1e-8
     # -- line search ------------------------------------------------------- #
     eta_ls: float = 1e-4  # Armijo constant
+    # Relative θ-growth cap on step acceptance: reject any trial with
+    # θ_trial > max(theta_growth_cap·θ0, theta_min). Wächter–Biegler f-type
+    # steps have no such cap (only the global θ_max and the filter), and on
+    # flat nonconvex landscapes that allows a cycle: an f-type step decreases
+    # φ while multiplying θ by ~100, the next iterations pull θ back down,
+    # the filter was reset on a μ update, repeat. 0 disables (classic rule).
+    theta_growth_cap: float = 0.0
     rho_init: float = 1.0  # initial ℓ1 penalty
     theta_rho: float = 0.5
     max_ls: int = static_field(default=10)
@@ -97,6 +118,21 @@ class IPMOptions:
     delta_w_max: float = 1e10
     delta_w_factor: float = 8.0  # κ_w⁺ (Ipopt); first-ever bump uses ×100
     delta_c: float = 1e-8
+    # Unconditional proximal (Levenberg-style) floor on δ_w: the inertia
+    # test cannot see *nearly*-singular curvature, so on problems with
+    # gauge/flat directions (free-time bilinear: dt/x are gauge at the
+    # optimum) the δ=0 Newton step along the valley is enormous and the
+    # endgame oscillates for ~150 iterations. The effective floor each
+    # iteration is max(delta_w_min, delta_w_mu_scale·μ) — the μ-tied form
+    # keeps full Newton speed until μ (and hence the target error) is small.
+    # 0/0 = classic inertia-only regularization.
+    # Measured on the N=51 bilinear family (B=64, f32, strict tol=1e-6):
+    # δ_w ≥ μ cuts iterations med 192→82, p90 264→101, at identical 64/64
+    # convergence; f64 golden fixture at tol=1e-8: 184→75 iterations. The
+    # aggressive acceptable-band schedule is the one regime it slightly
+    # hurts (p90 26→34) — bench.py sets delta_w_mu_scale=0 there.
+    delta_w_min: float = 0.0
+    delta_w_mu_scale: float = 1.0
     # Riccati backend: augmented-Lagrangian curvature shift for knot-local
     # border rows (terminal/interior pins, nonlinear equalities). Moves the
     # curvature those constraints fix into the core so the stage-wise inertia
