@@ -238,9 +238,9 @@ def solve_polished(
 ) -> SolveResult:
     """Mixed-precision solve: native-dtype solve, then an f64 polish.
 
-    TPUs run the throughput path in f32 (MXU-native); the f32 KKT floor is
-    ~1e-4 — short of Ipopt-grade tolerances (the reference runs Ipopt at
-    tol=1e-8, `/root/reference/src/solvers/ipopt_solver/options.jl:34-39`).
+    TPUs run the throughput path in f32 (MXU-native), short of Ipopt-grade
+    tolerances (the reference runs Ipopt at tol=1e-8,
+    `/root/reference/src/solvers/ipopt_solver/options.jl:34-39`).
     TPU XLA *does* compile f64 for everything this solver's XLA path uses
     (matmul/Cholesky/triangular-solve are software-emulated; only LU is
     missing, and the IPM has none), so the fix is a two-phase solve: run the
@@ -250,15 +250,16 @@ def solve_polished(
     point before reconverging (the mismatched pair shows up as an O(1e-3)
     spurious dual residual).
 
-    Honest caveat, measured on the N=51 bilinear golden fixture: on flat
-    nonconvex landscapes the f32 phase's floor (~1e-4 KKT) is *outside* the
-    Newton basin, so the polish is a real optimization tail (~200 iterations
-    to tol=1e-8, converging to the golden solution exactly), not a
-    10-iteration endgame — warm-starting interior-point methods buys
-    little there (~260 iterations measured on the golden fixture, hence the
-    450-iteration default budget). Its value is (a) Ipopt-grade certified output from any
-    f32 throughput run, and (b) batched: the f32 phase prunes at full MXU
-    speed and only the f64 tail pays emulation cost.
+    Measured on the N=51 bilinear golden fixture (CPU): with the proximal
+    δ_w ≥ μ floor (options.py: delta_w_mu_scale) damping the gauge-direction
+    oscillation, the f32 phase converges to a genuine ~1e-6 KKT point inside
+    the Newton basin and the f64 polish needs ~2 iterations to reach 1e-9 —
+    Ipopt-grade certified output at essentially f32 cost. (Round-1 history:
+    before that floor the f32 phase stalled at ~1e-4 *outside* the basin and
+    the polish was a ~260-iteration optimization tail; the generous
+    450-iteration default budget is kept as headroom since the while_loop
+    exits early.) Batched use: the f32 phase prunes at full MXU speed and
+    only the short f64 tail pays emulation cost.
 
     Requires ``jax.config.update("jax_enable_x64", True)``.
     """
