@@ -126,13 +126,16 @@ class IPMOptions:
     # iteration is max(delta_w_min, delta_w_mu_scale·μ) — the μ-tied form
     # keeps full Newton speed until μ (and hence the target error) is small.
     # 0/0 = classic inertia-only regularization.
-    # Measured on the N=51 bilinear family (B=64, f32, strict tol=1e-6):
-    # δ_w ≥ μ cuts iterations med 192→82, p90 264→101, at identical 64/64
-    # convergence; f64 golden fixture at tol=1e-8: 184→75 iterations. The
-    # aggressive acceptable-band schedule is the one regime it slightly
-    # hurts (p90 26→34) — bench.py sets delta_w_mu_scale=0 there.
+    # Measured on the N=51 bilinear family (B=64, f32, strict tol=1e-6),
+    # med/p90/max iterations: scale 0 → 192/264/305, 0.3 → 89/117/165,
+    # 1.0 → 82/101/173; f64 golden at tol=1e-8: 184 / 91 / 75. Scale 1.0
+    # over-damps well-conditioned endgames (cartpole stalls at 9.6e-6
+    # instead of reaching 1e-7), so the default is 0.3 — nearly the full
+    # degenerate-family win with no endgame loss. The aggressive
+    # acceptable-band schedule is the one regime any floor slightly hurts —
+    # bench.py sets delta_w_mu_scale=0 there.
     delta_w_min: float = 0.0
-    delta_w_mu_scale: float = 1.0
+    delta_w_mu_scale: float = 0.3
     # Riccati backend: augmented-Lagrangian curvature shift for knot-local
     # border rows (terminal/interior pins, nonlinear equalities). Moves the
     # curvature those constraints fix into the core so the stage-wise inertia
