@@ -25,6 +25,8 @@ __all__ = [
     "make_bilinear_problem",
     "make_scaled_problem",
     "make_batched_bilinear_problems",
+    "cartpole_dynamics",
+    "make_cartpole_problem",
 ]
 
 
@@ -192,3 +194,66 @@ def make_batched_bilinear_problems(
     data["ddu"] = jnp.asarray(rng.standard_normal((batch, N, 2)))
     traj = stacked.trajectory.replace(data=data)
     return stacked.replace(trajectory=traj)
+
+
+def cartpole_dynamics(mc: float = 1.0, mp: float = 0.2, length: float = 0.5,
+                      grav: float = 9.81):
+    """Continuous cartpole dynamics ẋ = f(x, u), x = [p, ṗ, θ, θ̇].
+
+    θ = 0 is upright. The second benchmark family: a classic mechanical
+    system with a *general* nonlinear vector field (exercises
+    ``GeneralIntegrator``'s RK4 path, vs the bilinear family's expm path)."""
+
+    def f(x, u):
+        _, dp, th, dth = x
+        F = u[0]
+        sin, cos = jnp.sin(th), jnp.cos(th)
+        denom = mc + mp * sin**2
+        ddp = (F + mp * sin * (length * dth**2 + grav * cos)) / denom
+        ddth = (
+            -F * cos - mp * length * dth**2 * cos * sin - (mc + mp) * grav * sin
+        ) / (length * denom)
+        return jnp.array([dp, ddp, dth, ddth])
+
+    return f
+
+
+def make_cartpole_problem(
+    N: int = 40,
+    seed: int = 0,
+    *,
+    dt: float = 0.05,
+    goal_p: float = 1.0,
+    u_bound: float = 10.0,
+) -> DirectTrajOptProblem:
+    """Cartpole cart-move problem: start balanced upright at p=0, end
+    balanced upright at p=``goal_p`` (terminal cost, soft goal).
+
+    Unlike the full swing-up (multimodal in the number of pump swings), the
+    cart-move task has a locally unique optimum, so independent solvers from
+    the same start land on the same solution — which is what makes it usable
+    as a golden external-validation fixture (tools/make_golden.py). The seed
+    only perturbs the initial guess. The control regularizer weight (0.1) is
+    deliberately stiff: at 1e-2 the optimum sits in a nearly-flat u-valley
+    and two independently converged solvers (gtol 1e-10 / tol 1e-9) still
+    differ by RMS(u) ≈ 1.4e-4 — too flat to certify 1e-4 agreement."""
+    from .integrators import GeneralIntegrator
+
+    f = cartpole_dynamics()
+    integ = GeneralIntegrator.create(f, "x", "u", scheme="rk4")
+    rng = np.random.default_rng(seed)
+    x0 = np.zeros(4)
+    goal = np.array([goal_p, 0.0, 0.0, 0.0])
+    x_guess = np.linspace(x0, goal, N) + 0.01 * rng.standard_normal((N, 4))
+    u_guess = 0.1 * rng.standard_normal((N, 1))
+    traj = Trajectory.create(
+        {"x": x_guess, "u": u_guess},
+        timestep=dt,
+        controls="u",
+        initial={"x": x0},
+        bounds={"u": u_bound},
+    )
+    obj = QuadraticRegularizer.create("u", traj, 0.1) + TerminalObjective(
+        lambda x: jnp.sum((x - jnp.asarray(goal)) ** 2), "x", traj, Q=100.0
+    )
+    return DirectTrajOptProblem.create(traj, obj, integ)

@@ -22,8 +22,14 @@ _FILES = sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.npz")))
 
 
 def _rebuild(meta):
-    from directtrajopt_tpu.benchmarks import make_bilinear_problem
+    from directtrajopt_tpu.benchmarks import (
+        make_bilinear_problem,
+        make_cartpole_problem,
+    )
 
+    family = str(meta.get("family", "bilinear"))
+    if family == "cartpole":
+        return make_cartpole_problem(N=int(meta["N"]), seed=int(meta["seed"]))
     kw = {}
     if "goal_objective" in meta:
         kw["goal_objective"] = float(meta["goal_objective"])

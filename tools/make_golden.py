@@ -110,12 +110,36 @@ def solve_trust_constr(problem, maxiter=4000, gtol=1e-10, xtol=1e-14, verbose=0)
     )
 
 
+def make_cartpole_goldens(outdir):
+    """Cartpole cart-move fixtures (second family: general RK4 dynamics)."""
+    from directtrajopt_tpu.benchmarks import make_cartpole_problem
+
+    for seed in range(3):
+        prob = make_cartpole_problem(N=40, seed=seed)
+        Z, info = solve_trust_constr(prob)
+        assert info["feas"] <= 1e-8, (seed, info)
+        assert info["stat"] <= 1e-6, (seed, info)
+        Z0 = np.asarray(prob.trajectory.to_zvec(), dtype=np.float64)
+        np.savez(
+            os.path.join(outdir, f"cartpole_n40_seed{seed}.npz"),
+            Z_star=Z, Z0=Z0, N=40, seed=seed, free_time=False,
+            family="cartpole", **info,
+        )
+        print(f"cartpole seed {seed}: obj={info['obj']:.9f} "
+              f"feas={info['feas']:.2e} stat={info['stat']:.2e} "
+              f"iters={info['niter']}")
+
+
 def main():
     setup_jax()
     from directtrajopt_tpu.benchmarks import make_bilinear_problem
 
     outdir = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
     os.makedirs(outdir, exist_ok=True)
+
+    if "--cartpole-only" in sys.argv:
+        make_cartpole_goldens(outdir)
+        return
 
     # --- 10 seeded Δt-pinned N=10 problems (solver_test_utils.jl analog) --- #
     for seed in range(10):
@@ -162,6 +186,8 @@ def main():
     )
     print(f"n51: obj={info['obj']:.9f} feas={info['feas']:.2e} "
           f"stat={info['stat']:.2e} iters={info['niter']}")
+
+    make_cartpole_goldens(outdir)
 
 
 if __name__ == "__main__":
