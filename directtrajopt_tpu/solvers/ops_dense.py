@@ -110,7 +110,15 @@ class _DenseCtx:
         f = self._free
         dtype = g_hat.dtype
         z_dim, n_eq = nlp.z_dim, nlp.n_eq
-        delta_c = opt.delta_c
+        # δc floor scales with the working precision: in f32, δc=1e-8 makes
+        # JᵀJ/δc ~1e8 swamp H entirely (eps32·1e8 ≈ 10 — the Hessian
+        # contributes literally nothing to the factorization and iterative
+        # refinement diverges; measured: the f32 dense path floored at
+        # KKT ~2.6e-3). With δc ~ √eps the augmented Cholesky is a usable
+        # *preconditioner* and the refinement loop below (which targets the
+        # TRUE δc=0 KKT system) restores accuracy.
+        eps = jnp.finfo(dtype).eps
+        delta_c = jnp.maximum(opt.delta_c, jnp.sqrt(eps) * 0.1)
 
         H = self._W + jnp.diag(Sig)
         if nlp.n_in:
@@ -151,9 +159,13 @@ class _DenseCtx:
                     return dz, lp
 
                 dZ, lam = aug(rhs_z, rhs_c)
+                # refinement targets the TRUE (δc=0) KKT system — the
+                # augmented solve is only the preconditioner, so each pass
+                # contracts the error by ~δc·‖S⁻¹‖ and both the δc
+                # perturbation and the f32 conditioning loss wash out
                 for _ in range(refine):
                     r_z = rhs_z - Hm @ dZ - Jm.T @ lam
-                    r_c = rhs_c - Jm @ dZ + delta_c * lam
+                    r_c = rhs_c - Jm @ dZ
                     ddz, dlp = aug(r_z, r_c)
                     dZ, lam = dZ + ddz, lam + dlp
                 return dZ, lam

@@ -129,3 +129,30 @@ def test_refine_noop_on_f64():
     b = solve_jit(prob, refine_residuals=True, **kw)
     assert float(a.kkt_error) == float(b.kkt_error)
     np.testing.assert_array_equal(np.asarray(a.ipm.Z), np.asarray(b.ipm.Z))
+
+
+def test_dense_backend_f32_strict_convergence():
+    """The dense backend must stay usable in f32: with δc=1e-8 the
+    augmented-Lagrangian term JᵀJ/δc (~1e8) swamps the Hessian entirely in
+    f32 and the path floored at KKT ~2.6e-3. The dtype-scaled δc floor plus
+    true-KKT-targeted refinement restore strict-tolerance convergence (this
+    is the fallback path every Riccati-ineligible f32 problem takes)."""
+    import jax.numpy as jnp
+
+    from directtrajopt_tpu.benchmarks import make_bilinear_problem
+    from directtrajopt_tpu.solvers.solve import cast_problem, solve_jit
+
+    prob = cast_problem(
+        make_bilinear_problem(N=21, seed=3, free_time=True, feasible_start=True),
+        jnp.float32,
+    )
+    res = solve_jit(
+        prob,
+        backend="dense",
+        tol=1e-6,
+        acceptable_tol=1e-6,
+        acceptable_iter=100,
+        max_iter=300,
+        mu_init=3e-2,
+    )
+    assert bool(res.converged), f"kkt={float(res.kkt_error):.2e}"
