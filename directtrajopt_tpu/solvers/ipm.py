@@ -529,11 +529,10 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
                 )
                 + jnp.sum((s + ap * ds_a) * (nu + ad * dnu_a))
             )
-            m_cnt = (
-                jnp.sum(jnp.where(mask_L, 1.0, 0.0))
-                + jnp.sum(jnp.where(mask_U, 1.0, 0.0))
-                + n_in
-            )
+            # dtype-explicit count: jnp.where(bool, 1.0, 0.0) with two weak
+            # Python floats is f64 under x64 and silently promoted μ (and
+            # with it the whole KKT RHS) on the f32 path
+            m_cnt = (jnp.sum(mask_L) + jnp.sum(mask_U) + n_in).astype(dtype)
             mu_avg = comp_now / jnp.maximum(m_cnt, 1.0)
             mu_aff = comp_aff / jnp.maximum(m_cnt, 1.0)
             sigma = jnp.clip((mu_aff / jnp.maximum(mu_avg, 1e-30)) ** 3, 1e-4, 10.0)

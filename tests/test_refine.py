@@ -156,3 +156,23 @@ def test_dense_backend_f32_strict_convergence():
         mu_init=3e-2,
     )
     assert bool(res.converged), f"kkt={float(res.kkt_error):.2e}"
+
+
+@pytest.mark.parametrize("strategy", ["adaptive", "mehrotra"])
+def test_mu_strategies_f32_under_x64(strategy):
+    """Regression: jnp.where(bool, 1.0, 0.0) with two weak Python floats is
+    f64 under x64, which silently promoted Mehrotra's μ (and the whole KKT
+    RHS) on the f32 path — the Riccati scan then failed with a carry-dtype
+    mismatch. Both alternative μ strategies must trace and run in f32."""
+    import jax.numpy as jnp
+
+    from directtrajopt_tpu.benchmarks import make_bilinear_problem
+    from directtrajopt_tpu.solvers.solve import cast_problem, solve_jit
+
+    prob = cast_problem(
+        make_bilinear_problem(N=7, seed=0, free_time=True, feasible_start=True),
+        jnp.float32,
+    )
+    res = solve_jit(prob, mu_strategy=strategy, tol=1e-6, max_iter=15)
+    assert res.ipm.Z.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(res.ipm.Z)))
