@@ -433,8 +433,14 @@ class GlobalLinearConstraint(LinearConstraintBase):
     ub: jax.Array
     name: str = static_field()
     label: str = static_field(default="global linear constraint")
-    # static row classification (from numpy lb/ub at construction)
+    # static row classification (from numpy lb/ub at construction): lower()
+    # runs at trace time, where lb/ub are tracers — classifying rows from
+    # their *values* there would crash every jitted solve of a problem with
+    # this constraint (solve_jit / solve_batch), so the classification is
+    # captured statically here
     eq_mask: tuple[bool, ...] = static_field(default=())
+    finite_lb: tuple[bool, ...] = static_field(default=())
+    finite_ub: tuple[bool, ...] = static_field(default=())
 
     @staticmethod
     def create(name, A, lb, ub=None, *, label=None):
@@ -459,14 +465,18 @@ class GlobalLinearConstraint(LinearConstraintBase):
             name=name,
             label=label or f"global linear constraint on {name}",
             eq_mask=eq_mask,
+            finite_lb=tuple(bool(np.isfinite(v)) for v in lb),
+            finite_ub=tuple(bool(np.isfinite(v)) for v in ub),
         )
 
     def lower(self, layout: Layout, canon: LinearCanon) -> None:
         gs = layout.global_z_slice(self.name)
         g_cols = np.arange(gs.start, gs.stop)
         n_rows, g_dim = self.A.shape
-        lb_np = np.asarray(self.lb)
-        ub_np = np.asarray(self.ub)
+        # row classification is STATIC (see field comment) — lb/ub may be
+        # tracers here, so no value-dependent Python logic on them
+        finite_lb = self.finite_lb or (True,) * n_rows
+        finite_ub = self.finite_ub or (True,) * n_rows
 
         eq_r = [r for r in range(n_rows) if self.eq_mask[r]]
         if eq_r:
@@ -476,8 +486,8 @@ class GlobalLinearConstraint(LinearConstraintBase):
             canon.add_eq_rows(rows, cols, vals, self.lb[jnp.asarray(eq_r)], len(eq_r))
 
         # inequality rows: a·g ≤ ub and -a·g ≤ -lb for finite sides
-        up_r = [r for r in range(n_rows) if not self.eq_mask[r] and np.isfinite(ub_np[r])]
-        lo_r = [r for r in range(n_rows) if not self.eq_mask[r] and np.isfinite(lb_np[r])]
+        up_r = [r for r in range(n_rows) if not self.eq_mask[r] and finite_ub[r]]
+        lo_r = [r for r in range(n_rows) if not self.eq_mask[r] and finite_lb[r]]
         n_in = len(up_r) + len(lo_r)
         if n_in:
             rows = np.repeat(np.arange(n_in), g_dim)

@@ -176,3 +176,22 @@ def test_mu_strategies_f32_under_x64(strategy):
     res = solve_jit(prob, mu_strategy=strategy, tol=1e-6, max_iter=15)
     assert res.ipm.Z.dtype == jnp.float32
     assert bool(jnp.all(jnp.isfinite(res.ipm.Z)))
+
+
+@pytest.mark.parametrize("backend", ["riccati", "dense"])
+def test_full_zoo_f32_under_x64(backend):
+    """Dtype-robustness sweep: the full constraint/objective zoo (L1 slack,
+    nonlinear eq/ineq, symmetry, duration, globals/arrowhead, free time)
+    must trace and run in f32 with x64 enabled — weak Python-float literals
+    anywhere in the lowering or solver promote the loop carry to f64 and
+    crash the trace (the Mehrotra μ bug's class)."""
+    import jax.numpy as jnp
+
+    from tests.test_riccati import make_problem
+    from directtrajopt_tpu.solvers.solve import cast_problem, solve_jit
+
+    prob = cast_problem(make_problem(with_globals=True), jnp.float32)
+    res = solve_jit(prob, backend=backend, tol=1e-5, acceptable_tol=1e-3,
+                    max_iter=30)
+    assert res.ipm.Z.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(res.ipm.Z)))
