@@ -191,10 +191,13 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
     free_blk = free[: N * d].reshape(N, d)
     g_free = free[N * d :].copy()
 
-    # dynamics rows whose target coordinate is pinned go to the border
+    # dynamics rows whose target coordinate is pinned go to the border.
+    # fix_idx may also contain GLOBAL indices (≥ N·d, e.g. a pinned global
+    # variable via GlobalEqualityConstraint) — those are handled by g_free
+    # above, not by knot-row pinning
     target_flat = (np.arange(1, N)[:, None] * d) + s_idx[None, :]  # (N-1, n_s)
     pinned = np.zeros(N * d, dtype=bool)
-    pinned[nlp.fix_idx] = True
+    pinned[nlp.fix_idx[nlp.fix_idx < N * d]] = True
     bp = pinned[target_flat]  # (N-1, n_s) True where border-pinned
     core_mask = (~bp).astype(np.float64)
     bp_steps, bp_rows = np.nonzero(bp)
