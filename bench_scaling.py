@@ -42,6 +42,9 @@ def main():
 
     n_dev = len(jax.devices())
     on_tpu = jax.devices()[0].platform == "tpu"
+    # virtual CPU devices are emulation regardless of who set XLA_FLAGS
+    # (the driver exports xla_force_host_platform_device_count itself)
+    emulated = emulated or not on_tpu
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
     if n_dev == 1:
