@@ -93,10 +93,14 @@ def main():
     # converges FEWER lanes (79-83/89 vs 87/89) — on this nonconvex family
     # mid-flight duals centered for the old μ fight the restarted barrier.
     CONT = min(128, BATCH)
-    # CPU (f64, tol 1e-8): with the proximal δ_w≥0.3μ floor the strict-tol
-    # iteration profile at μ_init=0.1 is [48..137] over 8 seeds — one
-    # 140-iter phase converges 8/8, beating the old 64+200 two-phase split
-    PH1, PH2 = (20, 64) if on_tpu else (140, 160)
+    # Gauss-Newton Hessian (options.py: hessian_approximation): on this
+    # bilinear family GN both removes the dominant prepare-stage AD pass and
+    # cuts iterations — CPU f64 strict-tol profile over 8 seeds [48..137]
+    # (exact) → [17..21] (GN); CPU-f32 acceptable-band proxy B=64:
+    # med/p90/max 16/27/41 (exact, δ_w floor off) → 20/34/57 (GN, floor 0.3)
+    # at 64/64 both. The δ_w≥0.3μ floor stays ON under GN (floor off loses a
+    # lane: 63/64, p90 47).
+    PH1, PH2 = (24, 64) if on_tpu else (26, 64)
     MU1, MU2 = (3e-2, 1e-3) if on_tpu else (1e-1, 1e-2)
     # Aggressive barrier schedule for the acceptable-band target: κ_ε=100
     # lets μ drop as soon as the inner error is within 100·μ, κ_μ=0.1 plunges
@@ -104,14 +108,12 @@ def main():
     # p90 69→27, max 119→41 at identical convergence (64/64) and identical
     # acceptable-band KKT quality. NOT a default: at strict tol=1e-8 the same
     # schedule outruns the central path and grinds (golden f64 check).
-    # delta_w_mu_scale=0: the proximal δ_w≥μ floor (a large win at strict
-    # tolerances, options.py) measures slightly WORSE in this plunge-fast
-    # acceptable-band regime (CPU proxy: p90 26→34) — disable it here
     sched = (
-        dict(kappa_epsilon=100.0, kappa_mu=0.1, delta_w_mu_scale=0.0)
+        dict(kappa_epsilon=100.0, kappa_mu=0.1)
         if on_tpu
         else {}
     )
+    sched["hessian_approximation"] = "gauss_newton"
 
     batch = make_batched_bilinear_problems(BATCH, N=N, feasible_start=True)
 

@@ -123,11 +123,14 @@ def hess_lagrangian(
     lam: jax.Array,
     nu: jax.Array,
     sigma: jax.Array | float = 1.0,
+    gauss_newton: bool = False,
 ) -> jax.Array:
     """Dense Hessian of the Lagrangian σ∇²f + Σλᵢ∇²c_eq,i + Σνⱼ∇²c_in,j.
 
     Assembled block-wise: per-knot objective blocks, per-window dynamics
     blocks, per-knot nonlinear-constraint blocks, global arrowhead.
+    ``gauss_newton`` drops the λ/ν-weighted constraint-curvature blocks
+    (objective curvature only — see ``IPMOptions.hessian_approximation``).
     """
     layout = nlp.layout
     N, dim, z_dim = layout.N, layout.dim, nlp.z_dim
@@ -177,6 +180,9 @@ def hess_lagrangian(
     if gdim:
         Hg = jax.hessian(lambda g: obj.cost_global(layout, g))(gvec)
         H = H.at[g_base:, g_base:].add(sigma * Hg)
+
+    if gauss_newton:
+        return H
 
     # -- dynamics window blocks ------------------------------------------- #
     off = 0

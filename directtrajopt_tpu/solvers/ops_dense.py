@@ -78,7 +78,8 @@ def _reg_retry(factor, delta_last, opt, dtype):
 
 
 class _DenseCtx:
-    def __init__(self, nlp: CanonicalNLP, Z, lam, nu, cache=None):
+    def __init__(self, nlp: CanonicalNLP, Z, lam, nu, cache=None,
+                 gauss_newton=False):
         self.nlp = nlp
         self.Z = Z
         self.grad_f = assembly.gradient(nlp, Z)
@@ -90,7 +91,9 @@ class _DenseCtx:
             self.c_i = nlp.c_in(Z)
         self._Je = assembly.jac_eq(nlp, Z)
         self._Ji = assembly.jac_in(nlp, Z)
-        self._W = assembly.hess_lagrangian(nlp, Z, lam, nu, 1.0)
+        self._W = assembly.hess_lagrangian(
+            nlp, Z, lam, nu, 1.0, gauss_newton=gauss_newton
+        )
         self._free = nlp.free_mask.astype(Z.dtype)
 
     def JeT(self, v):
@@ -182,5 +185,5 @@ class DenseOps:
     def __init__(self, nlp: CanonicalNLP):
         self.nlp = nlp
 
-    def prepare(self, Z, lam, nu, cache=None) -> _DenseCtx:
-        return _DenseCtx(self.nlp, Z, lam, nu, cache)
+    def prepare(self, Z, lam, nu, cache=None, gauss_newton=False) -> _DenseCtx:
+        return _DenseCtx(self.nlp, Z, lam, nu, cache, gauss_newton)

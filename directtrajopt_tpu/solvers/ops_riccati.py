@@ -292,7 +292,8 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
 
 class _RiccatiCtx:
     def __init__(self, nlp: CanonicalNLP, S: OCPStructure, Z, lam, nu,
-                 pallas_mode: str = "auto", cache=None):
+                 pallas_mode: str = "auto", cache=None,
+                 gauss_newton: bool = False):
         self.nlp = nlp
         self.S = S
         self.Z = Z
@@ -377,11 +378,17 @@ class _RiccatiCtx:
             jax.hessian(lambda z, k: obj.cost_at_knot(layout, z, gvec, k)),
             in_axes=(0, 0),
         )(zmat, jnp.arange(N))
+        # gauss_newton (options.hessian_approximation): drop the λ/ν-weighted
+        # constraint-curvature terms. PSD by construction (objective
+        # quadratics + Σ), so δ_w almost never fires, and prepare skips every
+        # second-order AD pass through the dynamics — see options.py for the
+        # measured iteration-count effect.
         off = 0
         for integ, (pos, r) in zip(nlp.integrators, S.s_pos):
             mu = lam[off : off + r * (N - 1)].reshape(N - 1, r)
-            blocks = stack_hessians_zk(integ, layout, zmat, mu)
-            QW = QW.at[: N - 1].add(blocks)
+            if not gauss_newton:
+                blocks = stack_hessians_zk(integ, layout, zmat, mu)
+                QW = QW.at[: N - 1].add(blocks)
             off += r * (N - 1)
 
         def add_nl_hess(QW, cons, offsets, mults):
@@ -402,8 +409,9 @@ class _RiccatiCtx:
                 QW = QW.at[jnp.asarray(times)].add(blocks)
             return QW
 
-        QW = add_nl_hess(QW, nlp.eq_cons, S.nl_eq_offsets, lam)
-        QW = add_nl_hess(QW, nlp.in_cons, S.nl_in_offsets, nu)
+        if not gauss_newton:
+            QW = add_nl_hess(QW, nlp.eq_cons, S.nl_eq_offsets, lam)
+            QW = add_nl_hess(QW, nlp.in_cons, S.nl_in_offsets, nu)
         self.QW = QW
 
         # ---- arrowhead Hessian blocks: ∂²L/∂z∂g and ∂²L/∂g² --------------- #
@@ -428,8 +436,12 @@ class _RiccatiCtx:
                 )
             Hgg = Hgg + jax.hessian(lambda g: obj.cost_global(layout, g))(gvec)
             # equality-constraint Lagrangian cross terms (global-coupled knot
-            # cons + pure-global cons); inequalities are global-free here
-            for con, o, jg in zip(nlp.eq_cons, S.nl_eq_offsets, self.nl_eq_jacs_g):
+            # cons + pure-global cons); inequalities are global-free here.
+            # λ-weighted constraint curvature — dropped under Gauss-Newton.
+            eq_arrow = [] if gauss_newton else list(
+                zip(nlp.eq_cons, S.nl_eq_offsets, self.nl_eq_jacs_g)
+            )
+            for con, o, jg in eq_arrow:
                 if jg is None:
                     continue
                 if hasattr(con, "knot_residual"):
@@ -1086,7 +1098,8 @@ class RiccatiOps:
 
         self.pallas_mode = os.environ.get("DTX_PALLAS", pallas_mode)
 
-    def prepare(self, Z, lam, nu, cache=None) -> _RiccatiCtx:
+    def prepare(self, Z, lam, nu, cache=None, gauss_newton=False) -> _RiccatiCtx:
         return _RiccatiCtx(
-            self.nlp, self.struct, Z, lam, nu, self.pallas_mode, cache
+            self.nlp, self.struct, Z, lam, nu, self.pallas_mode, cache,
+            gauss_newton,
         )

@@ -65,6 +65,23 @@ class IPMOptions:
     # Like the adaptive-μ experiments, it stays available but off.
     dual_init: str = static_field(default="zero")
     lam_init_max: float = 1e3
+    # Lagrangian-Hessian model (static: changes the traced graph; the Ipopt
+    # knob of the same name, `options.jl:74`, chooses exact vs L-BFGS — here
+    # the approximation is Gauss-Newton instead, which fits the OCP structure).
+    # "exact": full ∇²L including λ/ν-weighted constraint curvature.
+    # "gauss_newton": objective curvature only — PSD by construction, so the
+    # δ_w inertia ladder almost never fires, and `prepare` skips every
+    # second-order AD pass through the dynamics (the single most expensive
+    # stage). On equality dynamics the local rate degrades from quadratic to
+    # linear with contraction ∝ ‖λᵀ∇²c‖/σ_min(H), but on the bilinear family
+    # the dropped curvature is exactly the indefinite term that caused the
+    # gauge-valley oscillation (see delta_w_mu_scale): measured on the N=51
+    # family (B=64, f32, tol=1e-6), med/p90/max iterations 89/117/165 (exact)
+    # → 16/29/98 (GN) at identical 64/64 convergence, and each iteration is
+    # ~25% cheaper. Exact stays the default for generality (GN can stall when
+    # constraint curvature dominates, e.g. strongly nonlinear dynamics with
+    # large multipliers); the bilinear benchmarks pass gauss_newton.
+    hessian_approximation: str = static_field(default="exact")
     # Mixed-precision residual refinement (static: changes the traced graph).
     # When the solve dtype is f32, evaluate the cancellation-limited
     # quantities — c_eq/c_in, ∇f, the dual residual ∇f+Jᵀλ+Jᵀν−zL+zU, the

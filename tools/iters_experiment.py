@@ -79,6 +79,8 @@ def main():
         "dwmu1": dict(delta_w_mu_scale=1.0),
         "dwmu10": dict(delta_w_mu_scale=10.0),
         "dwmin1e-5+cap30": dict(delta_w_min=1e-5, theta_growth_cap=30.0),
+        "gn": dict(hessian_approximation="gauss_newton"),
+        "gn+dwmu0": dict(hessian_approximation="gauss_newton", delta_w_mu_scale=0.0),
     }
     for tag, kw in configs.items():
         if names and tag not in names.split(","):
