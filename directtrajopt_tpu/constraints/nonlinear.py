@@ -128,7 +128,8 @@ class NonlinearKnotPointConstraint(NonlinearConstraintBase):
     def knot_residual(self, layout: Layout, z: jax.Array, g: jax.Array, i) -> jax.Array:
         """Residual at the i-th *selected* time (z is that knot's vector)."""
         vars_ = [layout.knot_extract(z, n) for n in self.var_names]
-        p = [self.params[i]] if self.takes_params else []
+        # jnp.asarray: numpy data leaves cannot be indexed by a traced i
+        p = [jnp.asarray(self.params)[i]] if self.takes_params else []
         if self.convention == "separate":
             out = self.g(*(vars_ + p))
         else:
@@ -261,7 +262,8 @@ class NonlinearGlobalKnotPointConstraint(NonlinearConstraintBase):
             + [gvec[..., layout.global_slice(n)] for n in self.global_names],
             axis=-1,
         )
-        p = [self.params[i]] if self.takes_params else []
+        # jnp.asarray: numpy data leaves cannot be indexed by a traced i
+        p = [jnp.asarray(self.params)[i]] if self.takes_params else []
         return jnp.asarray(self.g(*([vals] + p))).reshape(-1)
 
     def constraint_dim(self, layout: Layout) -> int:

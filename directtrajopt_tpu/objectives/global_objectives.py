@@ -117,11 +117,12 @@ class GlobalKnotPointObjective(ObjectiveBase):
         )
         gvals = _extract_globals(layout, g, self.global_names)
         vals = jnp.concatenate([knot_vals, gvals], axis=-1)
+        # jnp.asarray: numpy data leaves cannot be indexed by the traced k
         if self.takes_params:
-            cost = self.ell(vals, self.params[k])
+            cost = self.ell(vals, jnp.asarray(self.params)[k])
         else:
             cost = self.ell(vals)
-        return self.Qs[k] * cost
+        return jnp.asarray(self.Qs)[k] * cost
 
     def __repr__(self):
         return (

@@ -83,11 +83,12 @@ class KnotPointObjective(ObjectiveBase):
 
     def cost_at_knot(self, layout: Layout, z, g, k):
         vals = self._vars(layout, z)
+        # jnp.asarray: numpy data leaves cannot be indexed by the traced k
         if self.takes_params:
-            cost = self.ell(vals, self.params[k])
+            cost = self.ell(vals, jnp.asarray(self.params)[k])
         else:
             cost = self.ell(vals)
-        return self.Qs[k] * cost
+        return jnp.asarray(self.Qs)[k] * cost
 
     def __repr__(self):
         return f"KnotPointObjective on {list(self.var_names)}"

@@ -72,10 +72,13 @@ class QuadraticRegularizer(ObjectiveBase):
 
     def cost_at_knot(self, layout: Layout, z, g, k):
         v = layout.knot_extract(z, self.name)
-        dv = v - self.baseline[k]
+        # jnp.asarray: data leaves may arrive as numpy arrays (a user building
+        # components directly, or a tree.map that materialized leaves), and
+        # numpy cannot be indexed by the traced knot index k
+        dv = v - jnp.asarray(self.baseline)[k]
         dt = layout.knot_timestep(z, dtype=z.dtype)
         r = dt * dv
-        return self.mask[k] * 0.5 * jnp.dot(r, self.R * r)
+        return jnp.asarray(self.mask)[k] * 0.5 * jnp.dot(r, self.R * r)
 
     def __repr__(self):
         return f"QuadraticRegularizer on {self.name}"
@@ -106,7 +109,7 @@ class LinearRegularizer(ObjectiveBase):
     def cost_at_knot(self, layout: Layout, z, g, k):
         v = layout.knot_extract(z, self.name)
         dt = layout.knot_timestep(z, dtype=z.dtype)
-        return self.mask[k] * dt * jnp.dot(self.R, v)
+        return jnp.asarray(self.mask)[k] * dt * jnp.dot(self.R, v)
 
     def __repr__(self):
         return f"LinearRegularizer on {self.name}"
