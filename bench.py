@@ -23,13 +23,6 @@ import time
 import numpy as np
 
 
-def take_batch(tree, idx):
-    import jax
-
-    idx = np.asarray(idx)
-    return jax.tree.map(lambda x: x[idx], tree)
-
-
 def _tpu_tunnel_alive(timeout_s: float = 180.0) -> bool:
     """Probe the (axon-tunneled) TPU backend in a subprocess with a timeout.
 
@@ -73,7 +66,7 @@ def main():
 
     import directtrajopt_tpu as dtx  # noqa: F401
     from directtrajopt_tpu.benchmarks import make_batched_bilinear_problems
-    from directtrajopt_tpu.solvers.solve import solve_batch
+    from directtrajopt_tpu.solvers.solve import solve_batch_scheduled
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
@@ -82,7 +75,10 @@ def main():
     print(f"device: {dev}, platform: {dev.platform}", file=sys.stderr)
 
     N = 51
-    BATCH = 256 if on_tpu else 8
+    # B=512 keeps the chip busier than 256 under the Gauss-Newton iteration
+    # profile (measured: 256→870/s, 512→959/s, 1024→911/s — at 1024 the
+    # straggler tail needs 3 continuation chunks and gives the gain back).
+    BATCH = 512 if on_tpu else 8
     # The Pallas kernel pads the batch to 128 lanes, so continuation chunks
     # below 128 cost the same as 128 — compact stragglers into 128-lane
     # chunks. Phase caps and μ schedule tuned by sweep (bench_report.json):
@@ -127,48 +123,41 @@ def main():
         acceptable_iter=1,
         **sched,
     )
-    kw1 = dict(kwargs, mu_init=MU1)
-    kw2 = dict(kwargs, mu_init=MU2)
+    sched_kw = dict(
+        kwargs,
+        mu_init=MU1,
+        phase1_iter=PH1,
+        phase2_iter=PH2,
+        mu_init_phase2=MU2,
+        chunk=CONT,
+    )
+
+    def run():
+        t0 = time.time()
+        res = solve_batch_scheduled(batch, **sched_kw)
+        conv = np.asarray(res.converged)
+        res.kkt_error.block_until_ready()
+        return time.time() - t0, int(conv.sum()), res
 
     # warm up / compile both phases
     t0 = time.time()
-    res = solve_batch(batch, max_iter=PH1, **kw1)
-    conv = np.asarray(res.converged)
-    bad = np.nonzero(~conv)[0]
-    if len(bad):
-        pad = (-len(bad)) % CONT
-        idx = np.concatenate([bad, np.repeat(bad[:1], pad)]) if pad else bad
-        chunk = take_batch(res.problem, idx[:CONT])
-        solve_batch(chunk, max_iter=PH2, **kw2).kkt_error.block_until_ready()
+    run()
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
     # timed runs
     times, convs = [], []
     for _ in range(3):
-        t0 = time.time()
-        res = solve_batch(batch, max_iter=PH1, **kw1)
-        conv = np.asarray(res.converged)
-        done = set(np.nonzero(conv)[0].tolist())
-        bad = np.nonzero(~conv)[0]
-        if len(bad):
-            pad = (-len(bad)) % CONT
-            idx = np.concatenate([bad, np.repeat(bad[:1], pad)]) if pad else bad
-            for c0 in range(0, len(idx), CONT):
-                chunk_idx = idx[c0 : c0 + CONT]
-                chunk = take_batch(res.problem, chunk_idx)
-                res2 = solve_batch(chunk, max_iter=PH2, **kw2)
-                conv2 = np.asarray(res2.converged)
-                done |= {int(g) for j, g in enumerate(chunk_idx) if conv2[j]}
-        res.kkt_error.block_until_ready()
-        times.append(time.time() - t0)
-        convs.append(len(done))
+        w, c, res = run()
+        times.append(w)
+        convs.append(c)
     wall = float(np.median(times))
     n_conv = int(np.median(convs))
 
     solves_per_s = n_conv / wall
+    n_p2 = int((np.asarray(res.iterations) > PH1).sum())
     print(
         f"batch={BATCH} wall={wall:.3f}s converged={n_conv}/{BATCH} "
-        f"(phase1 {int(np.asarray(res.converged).sum())})",
+        f"(stragglers {n_p2})",
         file=sys.stderr,
     )
 

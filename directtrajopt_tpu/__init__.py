@@ -67,6 +67,7 @@ from .solvers import (
     solve_jit,
     solve_polished,
     solve_batch_polished,
+    solve_batch_scheduled,
     cast_problem,
 )
 from .trajectory import Layout, Trajectory, traj_index, traj_slice

@@ -18,6 +18,7 @@ from .solve import (
     solve_jit,
     solve_polished,
     solve_batch_polished,
+    solve_batch_scheduled,
     cast_problem,
 )
 
@@ -42,5 +43,6 @@ __all__ = [
     "solve_jit",
     "solve_polished",
     "solve_batch_polished",
+    "solve_batch_scheduled",
     "cast_problem",
 ]

@@ -28,6 +28,7 @@ __all__ = [
     "SolveResult",
     "solve",
     "solve_batch",
+    "solve_batch_scheduled",
     "solve_jit",
     "solve_polished",
     "solve_batch_polished",
@@ -210,6 +211,74 @@ def solve_batch(
     """
     options = _merge_options(options, kwargs)
     return _batched_solver(backend, callbacks)(problems, options, warm)
+
+
+@jax.jit
+def _tree_take(tree, idx):
+    return jax.tree.map(lambda x: x[idx], tree)
+
+
+@jax.jit
+def _tree_scatter(full, part, idx):
+    return jax.tree.map(lambda f, p: f.at[idx].set(p), full, part)
+
+
+def solve_batch_scheduled(
+    problems: DirectTrajOptProblem,
+    options: IPMOptions | None = None,
+    *,
+    phase1_iter: int = 24,
+    phase2_iter: int = 64,
+    mu_init_phase2: float | None = 1e-3,
+    chunk: int = 128,
+    backend: str = "auto",
+    **kwargs: Any,
+) -> SolveResult:
+    """Two-phase straggler-compacted batch solve (the throughput scheduler).
+
+    A lockstep ``solve_batch`` pays the p99 lane's iteration count for every
+    lane in the batch. This scheduler instead runs a capped first pass over
+    the full batch (``phase1_iter``, sized to just past the family's median),
+    then compacts the unconverged stragglers into ``chunk``-lane continuation
+    batches warm-started from their current iterates — the trajectory is the
+    checkpoint, so nothing is lost — and scatters the results back. On the
+    N=51 bilinear benchmark family this is the difference between ~300 and
+    ~900 solves/s/chip at 256/256 convergence (bench.py).
+
+    ``chunk`` should match the Pallas kernel's 128-lane padding: continuation
+    batches below 128 lanes cost the same as 128. ``mu_init_phase2`` restarts
+    the barrier for the stragglers (carrying mid-flight duals was measured
+    WORSE on the nonconvex bilinear family — duals centered for the old μ
+    fight the restarted barrier — so phase 2 warm-starts primal-only).
+
+    Host-driven control flow (the converged mask crosses to the host between
+    phases); the per-phase solves are the cached compiled batch solver. The
+    returned ``iterations`` for straggler lanes is phase1+phase2 total.
+    """
+    import numpy as np
+
+    res = solve_batch(
+        problems, options, backend=backend, max_iter=phase1_iter, **kwargs
+    )
+    conv = np.asarray(res.converged)
+    bad = np.nonzero(~conv)[0]
+    if len(bad) == 0:
+        return res
+    kwargs2 = dict(kwargs, max_iter=phase2_iter)
+    if mu_init_phase2 is not None:
+        kwargs2["mu_init"] = mu_init_phase2
+    chunk = min(chunk, len(conv))
+    pad = (-len(bad)) % chunk
+    idx_all = np.concatenate([bad, np.repeat(bad[:1], pad)]) if pad else bad
+    out = res
+    for c0 in range(0, len(idx_all), chunk):
+        idx = jnp.asarray(idx_all[c0 : c0 + chunk])
+        sub = _tree_take(res.problem, idx)
+        res2 = solve_batch(sub, options, backend=backend, **kwargs2)
+        # phase-2 lanes report combined iteration counts
+        res2 = res2._replace(iterations=res2.iterations + phase1_iter)
+        out = _tree_scatter(out, res2, idx)
+    return out
 
 
 def cast_problem(problem: DirectTrajOptProblem, dtype) -> DirectTrajOptProblem:

@@ -314,3 +314,46 @@ def test_batch_heterogeneous_dynamics():
 
         dyn = np.asarray(evaluate(prob_i.integrators[0], tr_i))
         assert np.max(np.abs(dyn)) < 1e-6
+
+
+def test_solve_batch_scheduled():
+    """Two-phase straggler scheduling returns the same per-lane solutions as
+    a plain lockstep solve, with phase-2 lanes reporting combined iteration
+    counts. A tiny phase-1 cap forces the straggler path."""
+    trajs = []
+    integ = None
+    for seed in range(5):
+        tr, integ, _ = feasible_bilinear_traj(N=14, seed=seed, u_scale=0.2 + 0.05 * seed)
+        trajs.append(tr)
+    probs = [
+        dtx.DirectTrajOptProblem.create(
+            tr, dtx.QuadraticRegularizer.create("u", tr, 1.0), integ
+        )
+        for tr in trajs
+    ]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
+    plain = dtx.solve_batch(batch, max_iter=200)
+    assert bool(jnp.all(plain.converged))
+    # phase1_iter=3 converges nobody — every lane goes through compaction
+    sched = dtx.solve_batch_scheduled(
+        batch, phase1_iter=3, phase2_iter=200, mu_init_phase2=None, chunk=2
+    )
+    assert sched.converged.shape == (5,)
+    assert bool(jnp.all(sched.converged))
+    assert bool(jnp.all(sched.iterations > 3))
+    u_plain = np.asarray(plain.problem.trajectory.data["u"])
+    u_sched = np.asarray(sched.problem.trajectory.data["u"])
+    np.testing.assert_allclose(u_sched, u_plain, atol=1e-5)
+
+
+def test_solve_batch_scheduled_no_stragglers():
+    """When phase 1 converges everything, the scheduler is a plain batch
+    solve (no continuation batches are launched)."""
+    tr, integ, _ = feasible_bilinear_traj(N=14, seed=0)
+    prob = dtx.DirectTrajOptProblem.create(
+        tr, dtx.QuadraticRegularizer.create("u", tr, 1.0), integ
+    )
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *[prob, prob])
+    res = dtx.solve_batch_scheduled(batch, phase1_iter=200)
+    assert bool(jnp.all(res.converged))
+    assert bool(jnp.all(res.iterations <= 200))
