@@ -41,7 +41,13 @@ def main():
         tol=1e-5 if on_tpu else 1e-8,
         acceptable_tol=5e-4 if on_tpu else 1e-6,
         acceptable_iter=5,
+        # Gauss-Newton: on the bilinear family it cuts both the prepare-stage
+        # AD cost and the iteration count (see bench.py / STATUS.md)
+        hessian_approximation="gauss_newton",
     )
+    if on_tpu:
+        # aggressive barrier schedule for the acceptable-band target
+        kwargs.update(kappa_epsilon=100.0, kappa_mu=0.1)
 
     rows = []
     for N in (25, 51, 101):
