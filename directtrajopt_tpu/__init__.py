@@ -60,6 +60,8 @@ from .solvers import (
     say_hello,
     solve,
     stop_iteration,
+    telemetry,
+    TELEMETRY_COLUMNS,
     solve_batch,
     remove_slack_variables,
     get_default_options,

@@ -4,9 +4,10 @@ from .callbacks import (
     fidelity_stop,
     say_hello,
     stop_iteration,
+    telemetry,
 )
 from .canonical import CanonicalNLP, make_nlp
-from .ipm import IPMResult, IPMState, ipm_solve
+from .ipm import TELEMETRY_COLUMNS, IPMResult, IPMState, ipm_solve, WarmStart
 from .options import IPMOptions
 from .solve import (
     SolveResult,
@@ -29,6 +30,9 @@ __all__ = [
     "fidelity_stop",
     "say_hello",
     "stop_iteration",
+    "telemetry",
+    "TELEMETRY_COLUMNS",
+    "WarmStart",
     "IPMOptions",
     "IPMResult",
     "IPMState",

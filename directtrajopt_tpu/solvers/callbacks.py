@@ -37,6 +37,7 @@ __all__ = [
     "stop_iteration",
     "fidelity_stop",
     "best_fidelity_tracker",
+    "telemetry",
 ]
 
 
@@ -51,6 +52,12 @@ class IPMCallbacks:
       * ``stop_fn(Z, iteration) -> bool`` — device-side early-stop predicate,
         checked every ``stop_every`` iterations.
       * ``history_size`` — keep a ring buffer of the last K iterates.
+      * ``telemetry_size`` — keep a ring of per-iteration optimizer-state rows
+        (objective, inf_pr, inf_du, μ, KKT error, α, δ_w, θ — see
+        :data:`~directtrajopt_tpu.solvers.ipm.TELEMETRY_COLUMNS`), returned as
+        ``result.ipm.history_stats``. The on-device analog of the reference's
+        ``update_optimizer_state_history``
+        (`/root/reference/src/solvers/ipopt_solver/callbacks.jl:221-361`).
       * ``score_fn(Z) -> scalar`` — track the best-scoring iterate seen.
     """
 
@@ -59,6 +66,7 @@ class IPMCallbacks:
     stop_fn: Callable | None = static_field(default=None)
     stop_every: int = static_field(default=1)
     history_size: int = static_field(default=0)
+    telemetry_size: int = static_field(default=0)
     score_fn: Callable | None = static_field(default=None)
 
     def merged_with(self, other: "IPMCallbacks | None") -> "IPMCallbacks":
@@ -70,6 +78,7 @@ class IPMCallbacks:
             stop_fn=self.stop_fn or other.stop_fn,
             stop_every=min(self.stop_every, other.stop_every),
             history_size=max(self.history_size, other.history_size),
+            telemetry_size=max(self.telemetry_size, other.telemetry_size),
             score_fn=self.score_fn or other.score_fn,
         )
 
@@ -81,6 +90,17 @@ def say_hello(name: str = "solver") -> IPMCallbacks:
         print(f"hello from {name}: iteration {info['iteration']}")
 
     return IPMCallbacks(host_fn=hello)
+
+
+def telemetry(size: int = 128) -> IPMCallbacks:
+    """Record per-iteration optimizer state on device (reference
+    ``callback_update_optimizer_state_history``, `callbacks.jl:62-89`):
+    a ``(size, 8)`` ring of (objective, inf_pr, inf_du, μ, KKT error, α, δ_w,
+    θ) rows returned as ``result.ipm.history_stats`` — convergence forensics
+    without host callbacks inside jit. Row ``i % size`` describes iteration
+    ``i``; valid rows are ``history_stats[:min(iterations, size)]`` when the
+    run fits the ring."""
+    return IPMCallbacks(telemetry_size=size)
 
 
 def stop_iteration(max_iterations: int) -> IPMCallbacks:

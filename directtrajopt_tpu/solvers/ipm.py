@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from .canonical import CanonicalNLP
 from .options import IPMOptions
 
-__all__ = ["IPMState", "IPMResult", "WarmStart", "ipm_solve"]
+__all__ = ["IPMState", "IPMResult", "WarmStart", "ipm_solve", "TELEMETRY_COLUMNS"]
 
 _BIG = 1e20
 _FILTER_SIZE = 64
@@ -66,6 +66,7 @@ class IPMState(NamedTuple):
     stall_count: jax.Array  # consecutive stalled restoration steps
     infeasible: jax.Array  # local-infeasibility certificate fired
     rest_failed: jax.Array  # restoration stalled without a certificate
+    diverged: jax.Array  # ‖Z‖∞ or ‖s‖∞ exceeded diverging_iterates_tol
     iter: jax.Array
     converged: jax.Array
     acc_count: jax.Array  # consecutive iterations at acceptable tolerance
@@ -73,11 +74,13 @@ class IPMState(NamedTuple):
     err: jax.Array  # overall KKT error at μ=0
     obj: jax.Array
     best_kkt: jax.Array  # lowest μ=0 KKT error seen along the run
+    best_kkt_ok: jax.Array  # unscaled Ipopt tolerances held at that iterate
     best_kkt_Z: jax.Array  # the iterate that achieved it
     best_kkt_obj: jax.Array
     best_kkt_warm: "WarmStart"  # its slacks/duals (matched pair for warm starts)
     history_Z: jax.Array  # (K, z_dim) iterate ring buffer (K may be 0)
     hist_n: jax.Array
+    history_stats: jax.Array  # (T, 8) per-iteration telemetry ring (T may be 0)
     best_score: jax.Array
     best_Z: jax.Array
 
@@ -102,12 +105,31 @@ class IPMResult(NamedTuple):
     iterations: jax.Array
     converged: jax.Array
     status: jax.Array  # 0=optimal, 1=acceptable, 2=iteration limit,
-    # 3=callback stop, 4=locally infeasible, 5=restoration failed
+    # 3=callback stop, 4=locally infeasible, 5=restoration failed,
+    # 6=diverging iterates
     kkt_error: jax.Array
     objective: jax.Array
     history_Z: jax.Array
     best_Z: jax.Array
     best_score: jax.Array
+    history_stats: jax.Array  # (T, 8) telemetry ring, columns TELEMETRY_COLUMNS
+
+
+# column layout of IPMResult.history_stats (the on-device analog of the
+# reference's `update_optimizer_state_history`,
+# `/root/reference/src/solvers/ipopt_solver/callbacks.jl:221-361`): one row
+# per iteration (ring of size IPMCallbacks.telemetry_size), written *before*
+# the step so row i describes iterate i.
+TELEMETRY_COLUMNS = (
+    "objective",
+    "inf_pr",
+    "inf_du",
+    "mu",
+    "kkt_error",
+    "alpha",
+    "delta_w",
+    "theta",
+)
 
 
 def _masked_min(x, mask, initial):
@@ -148,6 +170,7 @@ def ipm_solve(
 def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
     cb = callbacks
     hist_k = cb.history_size if cb else 0
+    tele_k = getattr(cb, "telemetry_size", 0) if cb else 0
     if ops is None:
         from .ops_dense import DenseOps
 
@@ -164,6 +187,9 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         )
     f64 = jnp.float64
     opt = options.astype(dtype)
+    # barrier floor: max(mu_min, tol/10) — Ipopt's barrier_tol_factor scale
+    # with an explicit user floor (options.py: mu_min)
+    mu_floor = jnp.maximum(opt.mu_min, opt.tol / 10.0)
     z_dim, n_eq, n_in = nlp.z_dim, nlp.n_eq, nlp.n_in
     lb, ub = nlp.lb.astype(dtype), nlp.ub.astype(dtype)
     free = nlp.free_mask.astype(dtype)
@@ -251,6 +277,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         stall_count=jnp.zeros((), dtype=jnp.int32),
         infeasible=jnp.asarray(False),
         rest_failed=jnp.asarray(False),
+        diverged=jnp.asarray(False),
         iter=jnp.zeros((), dtype=jnp.int32),
         converged=jnp.asarray(False),
         acc_count=jnp.zeros((), dtype=jnp.int32),
@@ -258,11 +285,13 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         err=jnp.asarray(_BIG, dtype=dtype),
         obj=nlp.objective(Z_init),
         best_kkt=jnp.asarray(_BIG, dtype=dtype),
+        best_kkt_ok=jnp.asarray(False),
         best_kkt_Z=Z_init,
         best_kkt_obj=nlp.objective(Z_init),
         best_kkt_warm=WarmStart(s=s_init, lam=lam0, nu=nu0, zL=zL0, zU=zU0),
         history_Z=jnp.zeros((hist_k, z_dim), dtype=dtype),
         hist_n=jnp.zeros((), dtype=jnp.int32),
+        history_stats=jnp.zeros((tele_k, 8), dtype=dtype),
         best_score=jnp.asarray(-jnp.inf, dtype=dtype),
         best_Z=Z_init,
         c_e=c_e0,
@@ -360,10 +389,19 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             ).astype(dtype)
 
         base_err = jnp.maximum(inf_du / s_d, inf_pr)
+        comp0 = comp_err(0.0)
         e_mu = jnp.maximum(base_err, comp_err(st.mu) / s_c)
-        e_0 = jnp.maximum(base_err, comp_err(0.0) / s_c)
+        e_0 = jnp.maximum(base_err, comp0 / s_c)
 
-        conv_now = e_0 <= opt.tol
+        # Ipopt conjunctive success test: scaled overall error ≤ tol AND each
+        # unscaled component within its own tolerance (options.py rationale) —
+        # the unscaled tests only bite when the s_d/s_c scalings are large
+        unscaled_ok = (
+            (inf_du <= opt.dual_inf_tol)
+            & (inf_pr <= opt.constr_viol_tol)
+            & (comp0 <= opt.compl_inf_tol)
+        )
+        conv_now = (e_0 <= opt.tol) & unscaled_ok
         acc_count = jnp.where(
             e_0 <= opt.acceptable_tol, st.acc_count + 1, jnp.zeros((), jnp.int32)
         )
@@ -376,6 +414,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         # certificate — the result reports this iterate, not the last one.
         improved = e_0 < st.best_kkt
         best_kkt = jnp.where(improved, e_0, st.best_kkt)
+        best_kkt_ok = jnp.where(improved, unscaled_ok, st.best_kkt_ok)
         best_kkt_Z = jnp.where(improved, Z, st.best_kkt_Z)
         best_kkt_obj = jnp.where(improved, st.obj, st.best_kkt_obj)
         best_kkt_warm = jax.tree.map(
@@ -409,8 +448,8 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             has_comp = m_cnt > 0
             xi = jnp.where(has_comp, min_c / jnp.maximum(avg_c, 1e-30), 1.0)
             sigma = 0.1 * jnp.minimum(0.05 * (1.0 - xi) / jnp.maximum(xi, 1e-6), 2.0) ** 3
-            mu_target = jnp.clip(sigma * avg_c, opt.tol / 10.0, opt.mu_init)
-            mu = jnp.where(has_comp, mu_target, jnp.maximum(opt.tol / 10.0, 0.2 * st.mu))
+            mu_target = jnp.clip(sigma * avg_c, mu_floor, opt.mu_init)
+            mu = jnp.where(has_comp, mu_target, jnp.maximum(mu_floor, 0.2 * st.mu))
             # reset the filter only on large barrier drops
             mu_update = mu <= 0.1 * st.mu
         else:
@@ -430,7 +469,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             k_mu = jnp.where(endgame, opt.kappa_mu, k_mu_far)
             mu_update = e_mu <= k_eps * st.mu
             mu_raw = jnp.maximum(
-                opt.tol / 10.0,
+                mu_floor,
                 jnp.minimum(k_mu * st.mu, st.mu**opt.theta_mu),
             )
             # the far regime may not skip past the endgame boundary: the
@@ -537,8 +576,8 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             mu_avg = comp_now / jnp.maximum(m_cnt, 1.0)
             mu_aff = comp_aff / jnp.maximum(m_cnt, 1.0)
             sigma = jnp.clip((mu_aff / jnp.maximum(mu_avg, 1e-30)) ** 3, 1e-4, 10.0)
-            mu_new = jnp.clip(sigma * mu_avg, opt.tol / 10.0, opt.mu_init)
-            mu = jnp.where(m_cnt > 0, mu_new, jnp.maximum(opt.tol / 10.0, 0.2 * mu))
+            mu_new = jnp.clip(sigma * mu_avg, mu_floor, opt.mu_init)
+            mu = jnp.where(m_cnt > 0, mu_new, jnp.maximum(mu_floor, 0.2 * mu))
             # filter reset on large barrier drops
             mu_update = mu <= 0.1 * st.mu
             filter_th = jnp.where(mu_update, jnp.inf, filter_th)
@@ -879,6 +918,15 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
                 nu_new, mu / (opt.kappa_sigma * s_new), opt.kappa_sigma * mu / s_new
             )
 
+        # diverging-iterates exit (Ipopt diverging_iterates_tol, reference
+        # options.jl:51): a finite but exploding iterate terminates with a
+        # diagnosable status instead of grinding to the iteration limit
+        z_max = jnp.maximum(
+            jnp.max(jnp.abs(Z_new), initial=0.0),
+            jnp.max(jnp.abs(s_new), initial=0.0),
+        )
+        diverged = st.diverged | (z_max > opt.diverging_iterates_tol)
+
         # ---- filter augmentation (on non-f-type acceptance); a restoration
         # step instead clears the filter — its entries described a barrier
         # landscape the feasibility move just left ------------------------- #
@@ -1015,6 +1063,15 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             hist_n = st.hist_n + 1
         else:
             history_Z, hist_n = st.history_Z, st.hist_n
+        if tele_k:
+            # one telemetry row per iteration describing the *current* iterate
+            # and the step taken from it (columns: TELEMETRY_COLUMNS)
+            row = jnp.stack(
+                [st.obj, inf_pr, inf_du, mu, e_0, alpha, delta_fin, theta0]
+            ).astype(dtype)
+            history_stats = st.history_stats.at[st.iter % tele_k].set(row)
+        else:
+            history_stats = st.history_stats
         if cb is not None and cb.score_fn is not None:
             sc = cb.score_fn(Z_new)
             better = sc > st.best_score
@@ -1041,6 +1098,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             stall_count=stall_count,
             infeasible=infeasible,
             rest_failed=rest_failed,
+            diverged=diverged,
             iter=st.iter + jnp.where(stop_now, 0, 1),
             converged=conv_now,
             acc_count=acc_count,
@@ -1048,11 +1106,13 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             err=e_0,
             obj=obj_new,
             best_kkt=best_kkt,
+            best_kkt_ok=best_kkt_ok,
             best_kkt_Z=best_kkt_Z,
             best_kkt_obj=best_kkt_obj,
             best_kkt_warm=best_kkt_warm,
             history_Z=history_Z,
             hist_n=hist_n,
+            history_stats=history_stats,
             best_score=best_score,
             best_Z=best_Z,
             c_e=c_e_new,
@@ -1065,14 +1125,16 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             & (~st.stopped)
             & (~st.infeasible)
             & (~st.rest_failed)
+            & (~st.diverged)
             & (st.acc_count < options.acceptable_iter)
             & (st.iter < options.max_iter)
         )
 
     final = jax.lax.while_loop(cond, body, state0)
     # report the best-KKT iterate (the last body pass records the final Z in
-    # the best tracker, so best_kkt ≤ err always)
-    opt_hit = final.best_kkt <= opt.tol
+    # the best tracker, so best_kkt ≤ err always). Optimal additionally needs
+    # the unscaled Ipopt tolerances to have held at that iterate.
+    opt_hit = (final.best_kkt <= opt.tol) & final.best_kkt_ok
     acc_hit = final.best_kkt <= opt.acceptable_tol
     status = jnp.where(
         opt_hit,
@@ -1084,7 +1146,11 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
                 final.infeasible,
                 4,
                 jnp.where(
-                    final.rest_failed, 5, jnp.where(final.stopped, 3, 2)
+                    final.rest_failed,
+                    5,
+                    jnp.where(
+                        final.diverged, 6, jnp.where(final.stopped, 3, 2)
+                    ),
                 ),
             ),
         ),
@@ -1100,4 +1166,5 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         history_Z=final.history_Z,
         best_Z=final.best_Z,
         best_score=final.best_score,
+        history_stats=final.history_stats,
     )

@@ -20,11 +20,22 @@ __all__ = ["IPMOptions"]
 class IPMOptions:
     # -- termination (Ipopt defaults: options.jl:34-39) -------------------- #
     tol: float = 1e-8
+    # Ipopt-style conjunctive success test: the scaled overall KKT error must
+    # reach `tol` AND each *unscaled* component must clear its own tolerance
+    # (primal infeasibility ≤ constr_viol_tol, dual infeasibility ≤
+    # dual_inf_tol, complementarity ≤ compl_inf_tol). With the defaults the
+    # unscaled tests are implied by e₀ ≤ tol except when the dual scaling s_d
+    # or s_c is large (huge multipliers) — exactly the case Ipopt guards.
     constr_viol_tol: float = 1e-6
     dual_inf_tol: float = 1.0
     compl_inf_tol: float = 1e-4
     acceptable_tol: float = 1e-6
     acceptable_iter: int = static_field(default=15)
+    # Diverging-iterates exit (Ipopt `diverging_iterates_tol`, reference
+    # options.jl:51): a lane whose primal iterate or slack exceeds this
+    # magnitude terminates with status 6 instead of burning the iteration
+    # budget on a finite-but-exploding trajectory.
+    diverging_iterates_tol: float = 1e20
     # -- barrier ----------------------------------------------------------- #
     # "monotone" = Fiacco–McCormick with κ_ε inner loop (Ipopt default and
     # ours: measured best on the nonconvex bilinear benchmarks);
@@ -34,6 +45,9 @@ class IPMOptions:
     # monotone (filter globalization fights the oscillating barrier).
     mu_strategy: str = static_field(default="monotone")
     mu_init: float = 1e-1
+    # barrier floor: μ never drops below max(mu_min, tol/10) — the tol/10 term
+    # is Ipopt's barrier_tol_factor default; raise mu_min to stop the barrier
+    # earlier (e.g. warm-started resolves at loose accuracy)
     mu_min: float = 1e-12
     kappa_mu: float = 0.2  # linear μ decrease factor
     theta_mu: float = 1.5  # superlinear μ decrease exponent
@@ -108,8 +122,6 @@ class IPMOptions:
     # φ while multiplying θ by ~100, the next iterations pull θ back down,
     # the filter was reset on a μ update, repeat. 0 disables (classic rule).
     theta_growth_cap: float = 0.0
-    rho_init: float = 1.0  # initial ℓ1 penalty
-    theta_rho: float = 0.5
     max_ls: int = static_field(default=10)
     # Non-monotone (Grippo-style) acceptance memory: the φ reference in the
     # Armijo/sufficient-decrease tests is the max over the last `ls_memory`

@@ -257,6 +257,8 @@ def solve_batch_scheduled(
     """
     import numpy as np
 
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
     res = solve_batch(
         problems, options, backend=backend, max_iter=phase1_iter, **kwargs
     )
@@ -265,6 +267,11 @@ def solve_batch_scheduled(
     if len(bad) == 0:
         return res
     kwargs2 = dict(kwargs, max_iter=phase2_iter)
+    # phase 2 warm-starts primal-only by design (carrying mid-flight duals
+    # was measured WORSE — see docstring); a user-supplied warm start applies
+    # to phase 1 only, and forwarding the full-batch pytree here would pair
+    # wrong lanes with the compacted straggler problems
+    kwargs2.pop("warm", None)
     if mu_init_phase2 is not None:
         kwargs2["mu_init"] = mu_init_phase2
     chunk = min(chunk, len(conv))
@@ -275,8 +282,10 @@ def solve_batch_scheduled(
         idx = jnp.asarray(idx_all[c0 : c0 + chunk])
         sub = _tree_take(res.problem, idx)
         res2 = solve_batch(sub, options, backend=backend, **kwargs2)
-        # phase-2 lanes report combined iteration counts
-        res2 = res2._replace(iterations=res2.iterations + phase1_iter)
+        # phase-2 lanes report combined iteration counts, using each lane's
+        # ACTUAL phase-1 count (a lane that exited phase 1 early — callback
+        # stop, infeasibility certificate — consumed fewer than phase1_iter)
+        res2 = res2._replace(iterations=res2.iterations + res.iterations[idx])
         out = _tree_scatter(out, res2, idx)
     return out
 

@@ -25,7 +25,7 @@ MODULES = [
     "directtrajopt_tpu.solvers.callbacks",
     "directtrajopt_tpu.parallel",
     "directtrajopt_tpu.ops.expm",
-    "directtrajopt_tpu.ops.pallas_riccati",
+    "directtrajopt_tpu.ops.riccati_kernel",
     "directtrajopt_tpu.utils.mpc",
     "directtrajopt_tpu.utils.testing",
 ]
