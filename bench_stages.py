@@ -22,7 +22,6 @@ import json
 import sys
 import time
 
-import numpy as np
 
 
 def _timeit(fn, *args, repeats=5):
@@ -40,6 +39,14 @@ def _timeit(fn, *args, repeats=5):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gn", action="store_true", help="Gauss-Newton Hessian (the bench.py config)")
+    ap.add_argument("--batch", type=int, default=0, help="override batch size")
+    ap.add_argument("--no-report", action="store_true", help="don't overwrite bench_report.json")
+    cli = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -55,12 +62,19 @@ def main():
     print(f"device: {dev}, platform: {dev.platform}", file=sys.stderr)
 
     N = 51
-    B = 256 if on_tpu else 8
+    B = cli.batch or (256 if on_tpu else 8)
+    gn = bool(cli.gn)
     batch = make_batched_bilinear_problems(B, N=N, feasible_start=True)
-    opt = IPMOptions(tol=1e-5 if on_tpu else 1e-8, acceptable_tol=5e-4)
+    opt = IPMOptions(
+        tol=1e-5 if on_tpu else 1e-8,
+        acceptable_tol=5e-4,
+        hessian_approximation="gauss_newton" if gn else "exact",
+    )
 
     # a realistic mid-solve point: run 15 iterations and keep the IPM state
-    res15 = solve_batch(batch, max_iter=15, tol=opt.tol, acceptable_tol=opt.acceptable_tol)
+    res15 = solve_batch(batch, max_iter=15, tol=opt.tol,
+                        acceptable_tol=opt.acceptable_tol,
+                        hessian_approximation=opt.hessian_approximation)
     st = res15.ipm.state
     jax.block_until_ready(st.Z)
 
@@ -70,7 +84,10 @@ def main():
     # in-loop trip counts cancels the dispatch cost exactly (the same method
     # behind iter_marginal). Each trip carries a data dependency so XLA cannot
     # hoist or dedupe the work.
-    K1, K2 = 4, 12
+    # Wide K spread: sub-ms stages need (K2-K1)·cost to clear the timing
+    # noise of the two loop runs (ADVICE r2: the old 4..12 spread recorded
+    # negative marginals for stages cheaper than the noise floor)
+    K1, K2 = 4, 20
 
     def _loop_marginal(make_body, tag):
         def runner(K):
@@ -120,7 +137,7 @@ def main():
 
     def mk_prepare(nlp, ops, Z, lam, nu, s, zL, zU, mu, dlast):
         def body(i, z):
-            ctx = ops.prepare(z, lam, nu)
+            ctx = ops.prepare(z, lam, nu, gauss_newton=gn)
             v = jnp.sum(ctx.QW) + jnp.sum(ctx.Jr) + jnp.sum(ctx.grad_f)
             return z * (1.0 + 1e-30 * v)
 
@@ -128,7 +145,7 @@ def main():
 
     def mk_kkt(nlp, ops, Z, lam, nu, s, zL, zU, mu, dlast):
         dtype = Z.dtype
-        ctx = ops.prepare(Z, lam, nu)
+        ctx = ops.prepare(Z, lam, nu, gauss_newton=gn)
         Sig, D, g0 = _sigmas(nlp, ctx, Z, s, zL, zU, nu, mu, dtype)
 
         def body(i, z):
@@ -142,7 +159,7 @@ def main():
 
     def mk_kkt_soc(nlp, ops, Z, lam, nu, s, zL, zU, mu, dlast):
         dtype = Z.dtype
-        ctx = ops.prepare(Z, lam, nu)
+        ctx = ops.prepare(Z, lam, nu, gauss_newton=gn)
         Sig, D, g0 = _sigmas(nlp, ctx, Z, s, zL, zU, nu, mu, dtype)
 
         def body(i, z):
@@ -185,15 +202,33 @@ def main():
         "ls_grid10": mk_ls_grid,
     }
 
+    # noise floor of the finite-difference method itself: the marginal of an
+    # empty loop body should be 0; its measured magnitude (3 trials, worst
+    # case) bounds the error on every stage number below
+    def mk_noop(nlp, ops, Z, lam, nu, s, zL, zU, mu, dlast):
+        def body(i, z):
+            return z * (1.0 + 1e-30 * jnp.sum(z))
+
+        return body
+
+    noise = max(abs(_loop_marginal(mk_noop, "noop")) for _ in range(3))
+    print(f"{'noise_floor':16s} {noise:8.2f} ms / batch of {B}", file=sys.stderr)
+
     report = {}
+    below_noise = []
     for name, mk in stages.items():
         ms = _loop_marginal(mk, name)
         report[name] = round(ms, 3)
-        print(f"{name:16s} {ms:8.2f} ms / batch of {B}", file=sys.stderr)
+        flag = ""
+        if abs(ms) < 2.0 * noise:
+            below_noise.append(name)
+            flag = "  (below noise floor — not meaningful)"
+        print(f"{name:16s} {ms:8.2f} ms / batch of {B}{flag}", file=sys.stderr)
 
     # marginal per-iteration cost of the full IPM body
     def run_k(k):
-        r = solve_batch(batch, max_iter=k, tol=1e-20, acceptable_tol=1e-20)
+        r = solve_batch(batch, max_iter=k, tol=1e-20, acceptable_tol=1e-20,
+                        hessian_approximation=opt.hessian_approximation)
         return r.kkt_error
 
     t10 = _timeit(run_k, 10, repeats=3)
@@ -203,15 +238,21 @@ def main():
     print(f"{'iter_marginal':16s} {per_iter:8.2f} ms / batch of {B}", file=sys.stderr)
 
     payload = {
-        "schema": "dtx-bench-stages-v2",
+        "schema": "dtx-bench-stages-v3",
         "device": str(dev),
         "platform": dev.platform,
         "batch": B,
         "N": N,
         "stages_ms": report,
+        "gauss_newton": gn,
+        # self-describing accuracy: stage marginals with |value| below twice
+        # this floor are indistinguishable from measurement noise
+        "noise_floor_ms": round(noise, 3),
+        "below_noise": below_noise,
     }
-    with open("bench_report.json", "w") as f:
-        json.dump(payload, f, indent=1)
+    if not cli.no_report:
+        with open("bench_report.json", "w") as f:
+            json.dump(payload, f, indent=1)
     print(json.dumps({"metric": "iter_marginal_ms_b%d" % B,
                       "value": report["iter_marginal"], "unit": "ms",
                       "vs_baseline": None}))

@@ -25,7 +25,6 @@ REFERENCE_IPOPT_S = {  # docs/src/benchmarks.md:116-124 (median of 3 seeds)
 def main():
     import jax
 
-    import directtrajopt_tpu as dtx
     from directtrajopt_tpu.benchmarks import make_scaled_problem
     from directtrajopt_tpu.solvers.solve import solve_batch
 

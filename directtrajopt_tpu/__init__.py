@@ -70,6 +70,7 @@ from .solvers import (
     solve_polished,
     solve_batch_polished,
     solve_batch_scheduled,
+    solve_batch_compact,
     cast_problem,
 )
 from .trajectory import Layout, Trajectory, traj_index, traj_slice

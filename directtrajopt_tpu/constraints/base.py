@@ -23,7 +23,6 @@ flag (g=0 vs g≤0), differentiated by JAX AD instead of per-knot ForwardDiff.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ dynamics parameters per scenario) or as an arbitrary Python callable
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from ..module import module, static_field
 from ..trajectory import Layout, Trajectory
@@ -47,6 +46,15 @@ class TimeDependentBilinearIntegrator:
     t_name: str = static_field(default="t")
     spline_order: int = static_field(default=1)
     n_steps: int = static_field(default=10)
+    # Substitution closure ``u_{k+1} = u_next_fn(layout, z_k, k)`` installed
+    # by the Riccati lowering pass (`solvers.solve._lower_order1_td`) when
+    # another explicit integrator already determines u_{k+1} from z_k (e.g. a
+    # u→du derivative chain): the order-1 residual then reads only z_k (plus
+    # the identity target coupling), restoring the x_{k+1} − F(z_k) form the
+    # Riccati core requires. Exact — both constraint systems have the same
+    # solution set. Set only inside a trace (closures are not stable jit-cache
+    # keys), never on user-constructed integrators.
+    u_next_fn: Callable | None = static_field(default=None)
 
     @staticmethod
     def create(
@@ -73,14 +81,19 @@ class TimeDependentBilinearIntegrator:
     @property
     def explicit(self) -> bool:
         # order 1 couples u_{k+1}, breaking the x_{k+1} − F(z_k) form the
-        # Riccati core requires; order 0 (ZOH) is explicit
-        return self.spline_order == 0
+        # Riccati core requires; order 0 (ZOH) is explicit, as is order 1
+        # after the u_{k+1} substitution (see u_next_fn)
+        return self.spline_order == 0 or self.u_next_fn is not None
 
     def residual_dim(self, layout: Layout) -> int:
         return layout.dim_of(self.x_name)
 
     def read_cols(self, layout: Layout):
         """z_k columns the residual reads (x, u, t, Δt) — restricts window AD."""
+        if self.u_next_fn is not None:
+            # the substitution may read any z_k column the chain reads —
+            # fall back to full width (disables the restriction)
+            return list(range(layout.dim))
         cs_x, cs_u = layout.comp_slice(self.x_name), layout.comp_slice(self.u_name)
         cs_t = layout.comp_slice(self.t_name)
         cols = (
@@ -93,10 +106,11 @@ class TimeDependentBilinearIntegrator:
         return cols
 
     def read_cols_next(self, layout: Layout):
-        """z_{k+1} columns: x always; u too at spline order 1."""
+        """z_{k+1} columns: x always; u too at spline order 1 (unless the
+        u_{k+1} substitution removed that coupling)."""
         cs_x = layout.comp_slice(self.x_name)
         cols = list(range(cs_x.start, cs_x.stop))
-        if self.spline_order == 1:
+        if self.spline_order == 1 and self.u_next_fn is None:
             cs_u = layout.comp_slice(self.u_name)
             cols += list(range(cs_u.start, cs_u.stop))
         return cols
@@ -113,7 +127,10 @@ class TimeDependentBilinearIntegrator:
         if self.spline_order == 0:
             u_of = lambda tau: u_k
         else:
-            u_k1 = layout.knot_extract(zk1, self.u_name)
+            if self.u_next_fn is not None:
+                u_k1 = self.u_next_fn(layout, zk, k)
+            else:
+                u_k1 = layout.knot_extract(zk1, self.u_name)
             u_of = lambda tau: u_k + tau * (u_k1 - u_k)
 
         h = 1.0 / self.n_steps

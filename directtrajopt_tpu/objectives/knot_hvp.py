@@ -15,7 +15,6 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from ..module import module, static_field
 

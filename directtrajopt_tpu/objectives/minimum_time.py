@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..module import module, static_field
+from ..module import module
 from ..trajectory import Layout, Trajectory
 from .base import ObjectiveBase
 

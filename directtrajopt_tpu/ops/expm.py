@@ -89,25 +89,6 @@ def expm_apply(A: jax.Array, x: jax.Array, squarings: int = 4) -> jax.Array:
     return expm_pade(A, squarings=squarings) @ x
 
 
-def expm_taylor(A: jax.Array, order: int = 12, squarings: int = 0) -> jax.Array:
-    """exp(A) by Horner-evaluated Taylor series (optionally scaled+squared).
-
-    No LU solve (unlike Padé) — a fixed chain of small matmuls that AD and
-    batches cleanly. Truncation error ~ ‖A‖^(order+1)/(order+1)!: exact to
-    f64 precision for ‖A‖/2^squarings ≲ 1, to f32 for ≲ 2.
-    """
-    dtype = A.dtype
-    if squarings:
-        A = A * jnp.asarray(2.0**-squarings, dtype)
-    eye = jnp.eye(A.shape[-1], dtype=dtype)
-    R = eye
-    for k in range(order, 0, -1):
-        R = eye + (A / k) @ R
-    for _ in range(squarings):
-        R = R @ R
-    return R
-
-
 def expv_taylor(A: jax.Array, x: jax.Array, order: int = 12) -> jax.Array:
     """Action ``exp(A) @ x`` by Taylor series — matvecs only, the cheapest
     form for small-norm systems (‖A‖ ≲ 1): ``order`` matvecs, no matmats,

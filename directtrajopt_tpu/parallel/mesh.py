@@ -13,7 +13,6 @@ including the CPU-emulated meshes used in tests and the driver's
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
@@ -22,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..problem import DirectTrajOptProblem
 from ..solvers.options import IPMOptions
-from ..solvers.solve import SolveResult, _merge_options, _solve_impl
+from ..solvers.solve import SolveResult, _merge_options
 
 __all__ = [
     "make_mesh",

@@ -18,15 +18,13 @@ from __future__ import annotations
 import warnings
 from typing import Sequence
 
-import jax
-import numpy as np
 
 from .constraints import (
     BoundsConstraint,
     EqualityConstraint,
     TimeConsistencyConstraint,
 )
-from .module import module, static_field
+from .module import module
 from .objectives.base import ObjectiveBase
 from .trajectory import Trajectory
 

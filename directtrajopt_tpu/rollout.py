@@ -13,7 +13,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .integrators.base import windows
 from .trajectory import Trajectory
 
 __all__ = ["rollout", "bilinear_rollout", "rollout_fidelity"]

@@ -20,6 +20,7 @@ from .solve import (
     solve_polished,
     solve_batch_polished,
     solve_batch_scheduled,
+    solve_batch_compact,
     cast_problem,
 )
 
@@ -48,5 +49,6 @@ __all__ = [
     "solve_polished",
     "solve_batch_polished",
     "solve_batch_scheduled",
+    "solve_batch_compact",
     "cast_problem",
 ]

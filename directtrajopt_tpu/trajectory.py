@@ -22,7 +22,6 @@ KKT path rely on.
 
 from __future__ import annotations
 
-import math
 from functools import cached_property
 from typing import Mapping, Sequence
 

@@ -6,7 +6,12 @@ and verify infidelity ≤ 1e-3 at primal feasibility ≤ 1e-6."""
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
 import directtrajopt_tpu as dtx
+
+# serialize onto one xdist worker: these are the peak-memory compiles that
+# crashed workers under the default -n 4 (VERDICT r2 weak #2)
+pytestmark = pytest.mark.xdist_group("heavy")
 from directtrajopt_tpu.benchmarks import make_bilinear_problem, pauli_generators
 
 

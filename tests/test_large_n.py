@@ -11,7 +11,12 @@ TimeConsistency rows make the border O(N), VERDICT r1 weak #4), and a long
 free-time solve at N=201 converges to Ipopt-grade tolerance.
 """
 
+import pytest
 import numpy as np
+
+# serialize onto one xdist worker: these are the peak-memory compiles that
+# crashed workers under the default -n 4 (VERDICT r2 weak #2)
+pytestmark = pytest.mark.xdist_group("heavy")
 
 
 def _structure(N):

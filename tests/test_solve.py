@@ -316,6 +316,7 @@ def test_batch_heterogeneous_dynamics():
         assert np.max(np.abs(dyn)) < 1e-6
 
 
+@pytest.mark.xdist_group("heavy")
 def test_solve_batch_scheduled():
     """Two-phase straggler scheduling returns the same per-lane solutions as
     a plain lockstep solve, with phase-2 lanes reporting combined iteration
@@ -346,6 +347,7 @@ def test_solve_batch_scheduled():
     np.testing.assert_allclose(u_sched, u_plain, atol=1e-5)
 
 
+@pytest.mark.xdist_group("heavy")
 def test_solve_batch_scheduled_no_stragglers():
     """When phase 1 converges everything, the scheduler is a plain batch
     solve (no continuation batches are launched)."""
@@ -357,3 +359,60 @@ def test_solve_batch_scheduled_no_stragglers():
     res = dtx.solve_batch_scheduled(batch, phase1_iter=200)
     assert bool(jnp.all(res.converged))
     assert bool(jnp.all(res.iterations <= 200))
+
+
+@pytest.mark.xdist_group("heavy")
+def test_solve_batch_compact():
+    """The all-on-device multi-phase compacting scheduler converges every
+    lane to the same solution as a plain lockstep solve (benign family),
+    with per-lane combined iteration counts and odd batch/chunk padding."""
+    trajs = []
+    integ = None
+    for seed in range(5):
+        tr, integ, _ = feasible_bilinear_traj(
+            N=14, seed=seed, u_scale=0.2 + 0.05 * seed
+        )
+        trajs.append(tr)
+    probs = [
+        dtx.DirectTrajOptProblem.create(
+            tr, dtx.QuadraticRegularizer.create("u", tr, 1.0), integ
+        )
+        for tr in trajs
+    ]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
+    plain = dtx.solve_batch(batch, max_iter=200)
+    assert bool(jnp.all(plain.converged))
+    # phase-1 cap of 3 converges nobody; B=5 with chunk=2 forces padding
+    res = dtx.solve_batch_compact(
+        batch, phases=((3, None), (200, None)), chunk=2
+    )
+    assert res.converged.shape == (5,)
+    assert bool(jnp.all(res.converged))
+    assert bool(jnp.all(res.iterations > 3))
+    u_plain = np.asarray(plain.problem.trajectory.data["u"])
+    u_comp = np.asarray(res.problem.trajectory.data["u"])
+    np.testing.assert_allclose(u_comp, u_plain, atol=1e-5)
+    # merged result fields are per-lane consistent
+    assert np.all(np.asarray(res.kkt_error) < 1e-6)
+    assert np.all(np.asarray(res.status) <= 1)
+
+
+@pytest.mark.xdist_group("heavy")
+def test_solve_batch_compact_single_phase_equals_plain():
+    """With one full-budget phase and chunk >= B, compact IS a plain batch
+    solve — lane-for-lane identical results."""
+    tr, integ, _ = feasible_bilinear_traj(N=14, seed=0)
+    prob = dtx.DirectTrajOptProblem.create(
+        tr, dtx.QuadraticRegularizer.create("u", tr, 1.0), integ
+    )
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *[prob] * 3)
+    plain = dtx.solve_batch(batch, max_iter=150)
+    res = dtx.solve_batch_compact(batch, phases=((150, None),), chunk=8)
+    np.testing.assert_array_equal(
+        np.asarray(res.iterations), np.asarray(plain.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(lambda t: t.to_zvec())(res.problem.trajectory)),
+        np.asarray(jax.vmap(lambda t: t.to_zvec())(plain.problem.trajectory)),
+        atol=0,
+    )

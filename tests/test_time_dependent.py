@@ -122,3 +122,76 @@ def test_general_integrator_euler():
     )
     res = np.asarray(stack_residuals(integ, traj.layout, traj.knot_matrix()))
     np.testing.assert_allclose(res, -0.5, atol=1e-12)  # x_{k+1} - x_k - dt*u
+
+
+def test_td_order1_riccati_via_substitution():
+    """Spline-order-1 TD dynamics (the reference's default,
+    `time_dependent_bilinear_integrator.jl:161-163`) become Riccati-eligible
+    when a derivative chain determines u_{k+1} from z_k: the lowering pass
+    substitutes u_{k+1} = u_k + Δt·du_k into the residual (exact within the
+    chain's feasible set). Solutions must agree with the dense backend on the
+    un-lowered problem, and the solution must satisfy the ORIGINAL order-1
+    residuals."""
+    N = 10
+    rng = np.random.default_rng(3)
+    dts = np.full((N, 1), 0.1)
+    traj = dtx.Trajectory.create(
+        {
+            "x": rng.normal(size=(N, 2)) * 0.5,
+            "u": rng.normal(size=(N, 1)) * 0.3,
+            "du": rng.normal(size=(N, 1)) * 0.1,
+            "t": np.cumsum(dts, axis=0) - 0.1,
+            "dt": dts,
+        },
+        timestep="dt",
+        controls="du",
+        initial={"x": [1.0, 0.0], "t": [0.0]},
+        bounds={"dt": (0.05, 0.2)},
+    )
+    G = lambda u, t: (1.0 + 0.2 * jnp.sin(t)) * jnp.asarray(G_DRIFT) + u[
+        0
+    ] * jnp.asarray(G_DRIVE)
+    td = dtx.TimeDependentBilinearIntegrator.create(
+        G, "x", "u", "t", traj, spline_order=1, n_steps=6
+    )
+    chain = dtx.DerivativeIntegrator.create("u", "du", traj)
+    obj = dtx.QuadraticRegularizer.create(
+        "u", traj, 1.0
+    ) + dtx.QuadraticRegularizer.create("du", traj, 0.1)
+    tc = dtx.TimeConsistencyConstraint(time_name="t")
+    prob = dtx.DirectTrajOptProblem.create(
+        traj, obj, [td, chain], constraints=[tc]
+    )
+
+    # the lowering makes the order-1 problem Riccati-eligible
+    from directtrajopt_tpu.solvers.solve import _lower_order1_td
+
+    lowered = _lower_order1_td(prob)
+    assert analyze(make_nlp(lowered)) is not None
+    assert analyze(make_nlp(prob)) is None  # unlowered still isn't
+
+    res_r = dtx.solve(prob, backend="riccati", tol=1e-10, max_iter=200)
+    assert bool(res_r.converged)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # dense-cliff warning is expected
+        res_d = dtx.solve(prob, backend="dense", tol=1e-10, max_iter=200)
+    assert bool(res_d.converged)
+    # agreement: the free-time problem has near-flat directions, so compare
+    # objective values (tight) and primal iterates (loose), not bitwise Z
+    np.testing.assert_allclose(
+        float(res_r.objective), float(res_d.objective), rtol=1e-7, atol=1e-10
+    )
+    Zr = np.asarray(res_r.problem.trajectory.to_zvec())
+    Zd = np.asarray(res_d.problem.trajectory.to_zvec())
+    np.testing.assert_allclose(Zr, Zd, atol=5e-3)
+
+    # the Riccati solution satisfies the ORIGINAL (un-substituted) residuals
+    res_orig = np.asarray(
+        stack_residuals(td, traj.layout, res_r.problem.trajectory.knot_matrix())
+    )
+    assert np.max(np.abs(res_orig)) < 1e-8
+
+    # the returned problem carries the ORIGINAL integrators (no closure leak)
+    assert res_r.problem.integrators[0].u_next_fn is None
