@@ -66,7 +66,7 @@ def main():
 
     import directtrajopt_tpu as dtx  # noqa: F401
     from directtrajopt_tpu.benchmarks import make_batched_bilinear_problems
-    from directtrajopt_tpu.solvers.solve import solve_batch_scheduled
+    from directtrajopt_tpu.solvers.solve import solve_batch_compact
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
@@ -75,29 +75,33 @@ def main():
     print(f"device: {dev}, platform: {dev.platform}", file=sys.stderr)
 
     N = 51
-    # B=512 keeps the chip busier than 256 under the Gauss-Newton iteration
-    # profile (measured: 256→870/s, 512→959/s, 1024→911/s — at 1024 the
-    # straggler tail needs 3 continuation chunks and gives the gain back).
     BATCH = 512 if on_tpu else 8
-    # The Pallas kernel pads the batch to 128 lanes, so continuation chunks
-    # below 128 cost the same as 128 — compact stragglers into 128-lane
-    # chunks. Phase caps and μ schedule tuned by sweep (bench_report.json):
-    # phase 1 runs to just past the median iteration count at a reduced
-    # μ_init (feasible starts need less centering), phase 2 warm-starts the
-    # stragglers from their best iterates with μ_init=1e-3. Measured and
-    # rejected: carrying phase-1 duals into phase 2 (solve_batch warm=...)
-    # converges FEWER lanes (79-83/89 vs 87/89) — on this nonconvex family
-    # mid-flight duals centered for the old μ fight the restarted barrier.
+    # The chip's per-lane iteration cost RISES with lockstep width (measured
+    # v5e: 14.7 µs/lane at B=128 → 20.5 µs at B=1024 — 128 lanes saturate
+    # it), so the whole solve runs as solve_batch_compact: every phase is a
+    # lax.scan over 128-lane compacted chunks inside ONE jitted program (no
+    # host round trips between phases; the old host-driven two-phase
+    # scheduler measured 1223/s vs 1460/s for compact at the same schedule).
+    # Phase schedule tuned on-chip: (16, 16, 64) iterations with primal-only
+    # μ restarts at 1e-3 beat (24, 64) by ~7% (2241 vs 2145 solves/s).
+    # Measured and rejected: carrying phase-1 duals into later phases
+    # converges FEWER lanes on this nonconvex family.
     CONT = min(128, BATCH)
     # Gauss-Newton Hessian (options.py: hessian_approximation): on this
     # bilinear family GN both removes the dominant prepare-stage AD pass and
     # cuts iterations — CPU f64 strict-tol profile over 8 seeds [48..137]
-    # (exact) → [17..21] (GN); CPU-f32 acceptable-band proxy B=64:
-    # med/p90/max 16/27/41 (exact, δ_w floor off) → 20/34/57 (GN, floor 0.3)
-    # at 64/64 both. The δ_w≥0.3μ floor stays ON under GN (floor off loses a
-    # lane: 63/64, p90 47).
-    PH1, PH2 = (24, 64) if on_tpu else (26, 64)
-    MU1, MU2 = (3e-2, 1e-3) if on_tpu else (1e-1, 1e-2)
+    # (exact) → [17..21] (GN); keep the δ_w≥0.3μ floor ON under GN.
+    PHASES = (
+        ((16, None), (16, 1e-3), (64, 1e-3)) if on_tpu else ((26, None), (64, 1e-2))
+    )
+    MU1 = 3e-2 if on_tpu else 1e-1
+    # Taylor order for the expv action: ‖Δt·G‖ ≤ 0.6 over the dt bounds, so
+    # order 6 truncates at ≤6e-6 ≪ the acceptable band; measured on-chip the
+    # order-6 and order-12 solutions are identical (max RMS(u) diff 1.1e-8
+    # over 512 lanes) while the solve runs ~1.5× faster (the expv chain
+    # dominates prepare AND every line-search trial). Golden/accuracy tests
+    # keep the order-12 default.
+    TAYLOR = 6 if on_tpu else 12
     # Aggressive barrier schedule for the acceptable-band target: κ_ε=100
     # lets μ drop as soon as the inner error is within 100·μ, κ_μ=0.1 plunges
     # it; measured on the CPU-f32 proxy (B=64): iterations med 19→16,
@@ -110,8 +114,14 @@ def main():
         else {}
     )
     sched["hessian_approximation"] = "gauss_newton"
+    if on_tpu:
+        # trimmed trial grid: 7 backtracking + 2 restoration slots measured
+        # +3% at identical 512/512 convergence
+        sched.update(max_ls=7, n_rest_trials=2)
 
-    batch = make_batched_bilinear_problems(BATCH, N=N, feasible_start=True)
+    batch = make_batched_bilinear_problems(
+        BATCH, N=N, feasible_start=True, taylor_order=TAYLOR
+    )
 
     # acceptable_iter=1: stop a lane at its FIRST dip into the acceptable
     # band — the solver returns its best-KKT iterate, so the dip is a kept
@@ -126,15 +136,13 @@ def main():
     sched_kw = dict(
         kwargs,
         mu_init=MU1,
-        phase1_iter=PH1,
-        phase2_iter=PH2,
-        mu_init_phase2=MU2,
+        phases=PHASES,
         chunk=CONT,
     )
 
     def run():
         t0 = time.time()
-        res = solve_batch_scheduled(batch, **sched_kw)
+        res = solve_batch_compact(batch, **sched_kw)
         conv = np.asarray(res.converged)
         res.kkt_error.block_until_ready()
         return time.time() - t0, int(conv.sum()), res
@@ -154,7 +162,7 @@ def main():
     n_conv = int(np.median(convs))
 
     solves_per_s = n_conv / wall
-    n_p2 = int((np.asarray(res.iterations) > PH1).sum())
+    n_p2 = int((np.asarray(res.iterations) > PHASES[0][0]).sum())
     print(
         f"batch={BATCH} wall={wall:.3f}s converged={n_conv}/{BATCH} "
         f"(stragglers {n_p2})",

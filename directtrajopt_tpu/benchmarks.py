@@ -51,6 +51,7 @@ def make_bilinear_problem(
     free_time: bool = True,
     goal_objective: float | None = None,
     feasible_start: bool = False,
+    taylor_order: int = 12,
 ) -> DirectTrajOptProblem:
     """Standard bilinear quantum-gate problem (`problem_utils.jl:10-42`):
     4D state, 2 bounded controls with derivative chain, free timestep.
@@ -97,7 +98,10 @@ def make_bilinear_problem(
         bounds=bounds,
     )
     integrators = [
-        BilinearIntegrator.create((G_drift, G_drives), "x", "u", traj, method="taylor"),
+        BilinearIntegrator.create(
+            (G_drift, G_drives), "x", "u", traj, method="taylor",
+            taylor_order=taylor_order,
+        ),
         DerivativeIntegrator.create("u", "du", traj),
         DerivativeIntegrator.create("du", "ddu", traj),
     ]
@@ -151,6 +155,7 @@ def make_batched_bilinear_problems(
     free_time: bool = True,
     feasible_start: bool = False,
     goal_objective: float | None = None,
+    taylor_order: int = 12,
 ) -> DirectTrajOptProblem:
     """A stacked batch of bilinear problems differing in initial controls and
     state data — the vmappable unit of the pod-scale scenario sweep.
@@ -165,6 +170,7 @@ def make_batched_bilinear_problems(
         free_time=free_time,
         goal_objective=goal_objective,
         feasible_start=False,
+        taylor_order=taylor_order,
     )
     rng = np.random.default_rng(seed)
     dt, u_bound = 0.1, 0.1

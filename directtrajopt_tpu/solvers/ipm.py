@@ -136,6 +136,42 @@ def _masked_min(x, mask, initial):
     return jnp.min(jnp.where(mask, x, initial), initial=initial)
 
 
+# ---- error-free transforms (options.compensated_residuals) ---------------- #
+# XLA does not reassociate floating-point arithmetic by default, so these
+# classic identities hold exactly on device.
+
+
+def _two_sum(a, b):
+    """Knuth two-sum: s + e == a + b exactly, s = fl(a+b)."""
+    s = a + b
+    bp = s - a
+    return s, (a - (s - bp)) + (b - bp)
+
+
+def _csum(terms):
+    """Compensated (cascaded two-sum) summation of a list of arrays."""
+    s, e = terms[0], None
+    for t in terms[1:]:
+        s, err = _two_sum(s, t)
+        e = err if e is None else e + err
+    return s if e is None else s + e
+
+
+def _two_prod_f32(a, b):
+    """Dekker two-prod via Veltkamp split (f32: split at 2^12+1):
+    p + e == a·b exactly, p = fl(a·b)."""
+    SPLIT = 4097.0  # 2**12 + 1 for float32's 24-bit significand
+    ca = a * SPLIT
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = b * SPLIT
+    bh = cb - (cb - b)
+    bl = b - bh
+    p = a * b
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
 def ipm_solve(
     nlp: CanonicalNLP,
     Z0: jax.Array,
@@ -180,6 +216,13 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
     # mixed-precision residual refinement (options.py: refine_residuals):
     # f64 residuals/RHS inside the f32 solver. No-op when already f64.
     hi = bool(options.refine_residuals) and dtype == jnp.float32
+    # compensated f32 measurement arithmetic (options.py rationale); the f64
+    # refinement path supersedes it when both are requested
+    comp = (
+        bool(options.compensated_residuals)
+        and dtype == jnp.float32
+        and not hi
+    )
     if hi and not jax.config.jax_enable_x64:
         raise RuntimeError(
             "refine_residuals needs the f64 residual path: enable it with "
@@ -353,6 +396,10 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
                 free64
                 * (gf64 + JeTlam64 + JiTnu64 - zL.astype(f64) + zU.astype(f64))
             ).astype(dtype)
+        elif comp:
+            # five O(1) terms cancelling to O(tol): compensated summation
+            # removes the rounding of the cancelling additions exactly
+            r_dual = free * _csum([gf, ctx.JeT(lam), ctx.JiT(nu), -zL, zU])
         else:
             r_dual = free * (gf + ctx.JeT(lam) + ctx.JiT(nu) - zL + zU)
         z_sum = jnp.sum(jnp.abs(lam)) + jnp.sum(jnp.abs(nu))
@@ -377,9 +424,19 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             dLc, dUc, zLc, zUc, sc_, nuc = dL, dU, zL, zU, s, nu
 
         def comp_err(mu_val):
-            comp_L = jnp.where(mask_L, dLc * zLc - mu_val, 0.0)
-            comp_U = jnp.where(mask_U, dUc * zUc - mu_val, 0.0)
-            comp_s = sc_ * nuc - mu_val
+            if comp:
+                # d·z ≈ μ only by cancellation: exact-product transforms keep
+                # the measured complementarity at input-rounding level
+                pL, eL = _two_prod_f32(dLc, zLc)
+                pU, eU = _two_prod_f32(dUc, zUc)
+                ps, es = _two_prod_f32(sc_, nuc)
+                comp_L = jnp.where(mask_L, (pL - mu_val) + eL, 0.0)
+                comp_U = jnp.where(mask_U, (pU - mu_val) + eU, 0.0)
+                comp_s = (ps - mu_val) + es
+            else:
+                comp_L = jnp.where(mask_L, dLc * zLc - mu_val, 0.0)
+                comp_U = jnp.where(mask_U, dUc * zUc - mu_val, 0.0)
+                comp_s = sc_ * nuc - mu_val
             return jnp.maximum(
                 jnp.maximum(
                     jnp.max(jnp.abs(comp_L), initial=0.0),

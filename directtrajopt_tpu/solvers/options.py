@@ -110,6 +110,16 @@ class IPMOptions:
     # run in f64; Jacobians, Hessians, and the factorization stay f32.
     # Requires jax_enable_x64. No-op when the solve dtype is already f64.
     refine_residuals: bool = static_field(default=False)
+    # Compensated f32 residual arithmetic (static): error-free transforms
+    # (two-sum / Veltkamp-split two-prod) on the two cancellation-limited
+    # MEASUREMENTS of the f32 path — the dual-residual sum ∇f+Jᵀλ+Jᵀν−zL+zU
+    # (five O(1) terms cancelling to O(tol)) and the complementarity products
+    # d·z − μ (each product ≈ μ only by cancellation). Unlike
+    # refine_residuals this needs NO f64 emulation — each transform is a few
+    # extra f32 ops that recover the rounding of the cancelling additions /
+    # products exactly (the residual floor then tracks the rounding of the
+    # *inputs*, not of the arithmetic). No-op on the f64 path.
+    compensated_residuals: bool = static_field(default=False)
     bound_push: float = 1e-2  # κ₁: push initial point inside bounds
     bound_frac: float = 1e-2  # κ₂
     slack_min: float = 1e-8

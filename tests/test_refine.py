@@ -195,3 +195,73 @@ def test_full_zoo_f32_under_x64(backend):
                     max_iter=30)
     assert res.ipm.Z.dtype == jnp.float32
     assert bool(jnp.all(jnp.isfinite(res.ipm.Z)))
+
+
+def test_error_free_transforms_exact():
+    """two-sum / two-prod identities hold exactly on device under jit: the
+    (value, error) pairs reproduce the f64-exact result from f32 inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from directtrajopt_tpu.solvers.ipm import _csum, _two_prod_f32, _two_sum
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=1024) * 10, jnp.float32)
+    b = jnp.asarray(rng.normal(size=1024) * 1e-4, jnp.float32)
+
+    s, e = jax.jit(_two_sum)(a, b)
+    exact = a.astype(jnp.float64) + b.astype(jnp.float64)
+    np.testing.assert_array_equal(
+        np.asarray(s.astype(jnp.float64) + e.astype(jnp.float64)),
+        np.asarray(exact),
+    )
+
+    p, pe = jax.jit(_two_prod_f32)(a, b)
+    exact_p = a.astype(jnp.float64) * b.astype(jnp.float64)
+    np.testing.assert_array_equal(
+        np.asarray(p.astype(jnp.float64) + pe.astype(jnp.float64)),
+        np.asarray(exact_p),
+    )
+
+    # cancellation case the solver hits: Σ of O(1) terms summing to ~1e-7
+    terms = [a, -a * (1 - 1e-7), b, -b]
+    plain = sum(terms[1:], terms[0])
+    compd = jax.jit(lambda ts: _csum(ts))(terms)
+    truth = sum(
+        (t.astype(jnp.float64) for t in terms[1:]), terms[0].astype(jnp.float64)
+    )
+    err_plain = np.abs(np.asarray(plain, np.float64) - np.asarray(truth))
+    err_comp = np.abs(np.asarray(compd, np.float64) - np.asarray(truth))
+    assert err_comp.max() <= err_plain.max()
+    assert err_comp.mean() <= err_plain.mean()
+
+
+def test_compensated_f32_strict_convergence():
+    """compensated_residuals=True (pure f32, NO x64 emulation on the
+    measurement path) converges the f32 fixture at strict tolerance with a
+    genuine external-f64 certificate, like refine_residuals but at a few
+    extra f32 ops instead of emulated-f64 residual passes."""
+    import jax.numpy as jnp
+
+    from directtrajopt_tpu.benchmarks import make_bilinear_problem
+    from directtrajopt_tpu.solvers.canonical import make_nlp
+    from directtrajopt_tpu.solvers.solve import cast_problem, solve_jit
+
+    prob = cast_problem(
+        make_bilinear_problem(N=11, seed=5, free_time=True, feasible_start=True),
+        jnp.float32,
+    )
+    nlp64 = make_nlp(cast_problem(prob, jnp.float64))
+    res = solve_jit(
+        prob,
+        compensated_residuals=True,
+        tol=1e-6,
+        acceptable_tol=1e-6,
+        acceptable_iter=100,
+        max_iter=400,
+        mu_init=3e-2,
+    )
+    assert res.ipm.Z.dtype == jnp.float32
+    assert bool(res.converged), f"kkt={float(res.kkt_error):.2e}"
+    du, pr = _external_kkt(nlp64, res)
+    assert du < 5e-6 and pr < 5e-6, (du, pr)

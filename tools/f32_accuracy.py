@@ -8,6 +8,9 @@ free-time bilinear problem (only ``u`` is determined at its optimum — dt/x
 are gauge freedom, see tests/test_golden.py):
 
 * ``f32``       — the throughput path (Pallas/XLA per DTX_PALLAS)
+* ``f32_comp``  — f32 with compensated residual arithmetic
+                  (options.compensated_residuals: error-free transforms on
+                  the cancellation-limited measurements, no f64 emulation)
 * ``f64``       — full f64 solve from the same start (XLA-emulated on TPU;
                   the on-chip Ipopt-grade reference)
 * ``polished``  — f32 solve + warm-started f64 polish (solve_polished)
@@ -68,12 +71,14 @@ def main():
     def run(mode):
         if mode == "f32":
             return solve_jit(prob, **common)
+        if mode == "f32_comp":
+            return solve_jit(prob, compensated_residuals=True, **common)
         if mode == "f64":
             return solve_jit(prob64, tol=1e-8, acceptable_tol=1e-8,
                              max_iter=300, mu_init=3e-2)
         return solve_polished(prob, **common)
 
-    for mode in ("f32", "f64", "polished"):
+    for mode in ("f32", "f32_comp", "f64", "polished"):
         t0 = time.time()
         res = run(mode)
         res.kkt_error.block_until_ready()
