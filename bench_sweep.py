@@ -26,17 +26,16 @@ def main():
     import jax
 
     from directtrajopt_tpu.benchmarks import make_scaled_problem
-    from directtrajopt_tpu.solvers.solve import solve_batch
+    from directtrajopt_tpu.solvers.solve import solve_batch, solve_batch_compact
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else (64 if on_tpu else 4)
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else (256 if on_tpu else 4)
     print(f"device: {dev}, batch per cell: {B}", file=sys.stderr)
 
     kwargs = dict(
-        max_iter=50,  # reference sweep cap
         tol=1e-5 if on_tpu else 1e-8,
         acceptable_tol=5e-4 if on_tpu else 1e-6,
         acceptable_iter=5,
@@ -45,8 +44,17 @@ def main():
         hessian_approximation="gauss_newton",
     )
     if on_tpu:
-        # aggressive barrier schedule for the acceptable-band target
+        # aggressive barrier schedule for the acceptable-band target, and the
+        # on-device compacting scheduler (128-lane chunks — see bench.py);
+        # phase budgets sum to the reference's 50-iteration sweep cap
         kwargs.update(kappa_epsilon=100.0, kappa_mu=0.1)
+
+    def run_cell(batch):
+        if on_tpu:
+            return solve_batch_compact(
+                batch, phases=((20, None), (30, 1e-3)), chunk=128, **kwargs
+            )
+        return solve_batch(batch, max_iter=50, **kwargs)
 
     rows = []
     for N in (25, 51, 101):
@@ -55,11 +63,11 @@ def main():
             batch = jax.tree.map(lambda *xs: np.stack(xs), *probs)
             batch = jax.tree.map(jax.numpy.asarray, batch)
             t0 = time.time()
-            res = solve_batch(batch, **kwargs)
+            res = run_cell(batch)
             res.kkt_error.block_until_ready()
             compile_s = time.time() - t0
             t0 = time.time()
-            res = solve_batch(batch, **kwargs)
+            res = run_cell(batch)
             res.kkt_error.block_until_ready()
             wall = time.time() - t0
             conv = int(np.asarray(res.converged).sum())
