@@ -2,6 +2,7 @@ from .mesh import (
     init_distributed,
     make_mesh,
     shard_batch,
+    solve_batch_compact_sharded,
     solve_batch_sharded,
     weak_scaling,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "init_distributed",
     "make_mesh",
     "shard_batch",
+    "solve_batch_compact_sharded",
     "solve_batch_sharded",
     "weak_scaling",
 ]

@@ -27,6 +27,7 @@ __all__ = [
     "make_mesh",
     "shard_batch",
     "solve_batch_sharded",
+    "solve_batch_compact_sharded",
     "init_distributed",
     "weak_scaling",
 ]
@@ -95,6 +96,48 @@ def solve_batch_sharded(
     mesh = mesh or make_mesh(axis_name=axis_name)
     batch = shard_batch(batch, mesh, axis_name)
     return _batched_solver(backend)(batch, options, None)
+
+
+def solve_batch_compact_sharded(
+    batch: DirectTrajOptProblem,
+    options: IPMOptions | None = None,
+    *,
+    mesh: Mesh | None = None,
+    axis_name: str = "batch",
+    phases: tuple = ((14, None), (12, 1e-3), (24, 1e-3), (64, 1e-3)),
+    chunk: int = 128,
+    backend: str = "auto",
+    **kwargs: Any,
+) -> "SolveResult":
+    """Sharded multi-phase compacting solve: each device runs the full
+    :func:`~directtrajopt_tpu.solvers.solve.solve_batch_compact` schedule on
+    ITS shard via ``shard_map`` — compaction (argsort + chunk gathers) stays
+    device-local, so the hot path has **zero cross-device collectives**,
+    exactly like :func:`solve_batch_sharded`. The per-device batch must be a
+    multiple of nothing in particular (chunks pad), but throughput is best
+    at ≥ ``chunk`` lanes per device.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..solvers.solve import _compact_body, _merge_options
+
+    options = _merge_options(options, kwargs)
+    mesh = mesh or make_mesh(axis_name=axis_name)
+    batch = shard_batch(batch, mesh, axis_name)
+    body = _compact_body(backend, tuple(phases), chunk)
+
+    spec_b = P(axis_name)
+    fn = jax.shard_map(
+        lambda b, o: body(b, o, None),
+        mesh=mesh,
+        in_specs=(spec_b, P()),
+        out_specs=spec_b,
+        # the compact body's scan carries mix device-varying values with
+        # replicated zero-inits; the program is embarrassingly parallel, so
+        # skip the varying-manual-axes check instead of sprinkling pcasts
+        check_vma=False,
+    )
+    return jax.jit(fn)(batch, options)
 
 
 def weak_scaling(

@@ -395,7 +395,14 @@ def solve_batch_compact(
 
 @lru_cache(maxsize=None)
 def _compact_runner(backend: str, phases: tuple, chunk: int):
-    @jax.jit
+    return jax.jit(_compact_body(backend, phases, chunk))
+
+
+@lru_cache(maxsize=None)
+def _compact_body(backend: str, phases: tuple, chunk: int):
+    """Unjitted compact-schedule body — also the per-shard program of
+    :func:`directtrajopt_tpu.parallel.solve_batch_compact_sharded`."""
+
     def run(problems, options, warm):
         B = jax.tree.leaves(problems)[0].shape[0]
         ch = min(chunk, B)

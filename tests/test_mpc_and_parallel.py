@@ -2,6 +2,7 @@
 (emulated 8-device CPU mesh, as the driver's multichip dryrun does)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -126,3 +127,24 @@ def test_sharded_equals_unsharded_n51():
     )
     shard_devs = {d.id for d in res_s.ipm.Z.sharding.device_set}
     assert len(shard_devs) == 8
+
+
+@pytest.mark.xdist_group("heavy")
+def test_sharded_compact_equals_unsharded():
+    """solve_batch_compact_sharded runs the full compacting schedule
+    device-locally via shard_map — results must be bitwise-identical to the
+    unsharded solve_batch_compact (no collectives on the hot path)."""
+    from directtrajopt_tpu.benchmarks import make_batched_bilinear_problems
+    from directtrajopt_tpu.parallel import solve_batch_compact_sharded
+
+    B = 2 * len(jax.devices())
+    batch = make_batched_bilinear_problems(B, N=12, feasible_start=True)
+    mesh = make_mesh()
+    phases = ((3, None), (150, 1e-3))
+    res = solve_batch_compact_sharded(batch, mesh=mesh, phases=phases, chunk=2)
+    ref = dtx.solve_batch_compact(batch, phases=phases, chunk=2)
+    assert bool(jnp.all(res.converged))
+    np.testing.assert_array_equal(np.asarray(res.ipm.Z), np.asarray(ref.ipm.Z))
+    np.testing.assert_array_equal(
+        np.asarray(res.iterations), np.asarray(ref.iterations)
+    )
