@@ -256,20 +256,45 @@ class TotalConstraint(LinearConstraintBase):
     (`src/constraints/linear/total_constraint.jl:20-40`,
     `src/solvers/constrain.jl:227-253`). For the timestep variable only the
     first N−1 knots are summed. ``name=None`` means the timestep variable.
+
+    Extension over the reference: pass ``lb=`` / ``ub=`` instead of a value
+    to constrain the total to a RANGE — this lowers to multi-knot linear
+    inequality rows (handled on the Riccati path as border inequalities).
     """
 
     value: jax.Array
     name: str | None = static_field(default=None)
     component_index: int = static_field(default=0)
     label: str = static_field(default="total constraint")
+    # static row-shape classification: value row vs. lb/ub inequality rows.
+    # value holds (v,), (ub,), (lb,), or (ub, lb) depending on the flags.
+    is_eq: bool = static_field(default=True)
+    has_lb: bool = static_field(default=False)
+    has_ub: bool = static_field(default=False)
 
     @staticmethod
-    def create(name, value, *, component_index=0, label=None):
+    def create(name, value=None, *, lb=None, ub=None, component_index=0, label=None):
+        if (value is None) == (lb is None and ub is None):
+            raise ValueError("pass either value= (equality) or lb=/ub= (range)")
+        if value is not None:
+            vals = jnp.asarray([float(value)])
+            is_eq, has_lb, has_ub = True, False, False
+        else:
+            parts = []
+            if ub is not None:
+                parts.append(float(ub))
+            if lb is not None:
+                parts.append(float(lb))
+            vals = jnp.asarray(parts)
+            is_eq, has_lb, has_ub = False, lb is not None, ub is not None
         return TotalConstraint(
-            value=jnp.asarray(float(value)),
+            value=vals,
             name=name,
             component_index=component_index,
             label=label or f"total constraint on {name}",
+            is_eq=is_eq,
+            has_lb=has_lb,
+            has_ub=has_ub,
         )
 
     def lower(self, layout: Layout, canon: LinearCanon) -> None:
@@ -278,19 +303,38 @@ class TotalConstraint(LinearConstraintBase):
         n_t = layout.N - 1 if name == layout.timestep else layout.N
         cols = np.arange(n_t) * layout.dim + comp
         rows = np.zeros(n_t)
-        canon.add_eq_rows(
-            rows, cols, jnp.ones(n_t), jnp.asarray([self.value]), 1
-        )
+        val = jnp.atleast_1d(self.value)
+        if self.is_eq:
+            canon.add_eq_rows(rows, cols, jnp.ones(n_t), val[:1], 1)
+            return
+        # inequality rows: Σv ≤ ub and −Σv ≤ −lb for the finite sides;
+        # value layout is (ub,), (lb,), or (ub, lb) per create()
+        pos = 0
+        if self.has_ub:
+            canon.add_ineq_rows(rows, cols, jnp.ones(n_t), val[pos : pos + 1], 1)
+            pos += 1
+        if self.has_lb:
+            canon.add_ineq_rows(
+                rows, cols, -jnp.ones(n_t), -val[pos : pos + 1], 1
+            )
 
 
-def DurationConstraint(value, *, label=None):
-    """Total duration Σ_{k<N-1} Δt_k = value
-    (`src/constraints/linear/total_constraint.jl:28-40`)."""
-    return TotalConstraint(
-        value=jnp.asarray(float(value)),
-        name=None,
+def DurationConstraint(value=None, *, lb=None, ub=None, label=None):
+    """Total duration Σ_{k<N-1} Δt_k = value, or lb ≤ Σ Δt ≤ ub when bounds
+    are given instead (`src/constraints/linear/total_constraint.jl:28-40`;
+    the range form is an extension — see :class:`TotalConstraint`)."""
+    return TotalConstraint.create(
+        None,
+        value,
+        lb=lb,
+        ub=ub,
         component_index=0,
-        label=label or f"duration constraint of {value}",
+        label=label
+        or (
+            f"duration constraint of {value}"
+            if value is not None
+            else f"duration range [{lb}, {ub}]"
+        ),
     )
 
 

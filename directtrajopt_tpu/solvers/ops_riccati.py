@@ -35,10 +35,18 @@ This backend exploits that:
   symmetric-indefinite 2×2 block Schur solve over (λ_border, δg) whose
   global-block Cholesky is part of the δ_w inertia certificate.
 
+* **border inequalities**: multi-knot linear inequality rows (e.g. a
+  duration bound Σdt ≤ T) and global-coupled / pure-global nonlinear
+  inequalities join the same Schur border with the exact −1/D_r slack
+  diagonal in place of −δ_c, rhs 0, multipliers discarded — eliminating
+  λ_b reproduces (K + J_ibᵀ D J_ib)δz = rhs exactly, so no inequality
+  structure falls off the O(N) path.
+
 Cost per KKT solve: O(N·(n_s+n_v)³) sequential-in-k, fully parallel over the
 scenario batch — versus O((N·d)³) for the dense path. Eligibility is decided
-statically (`analyze`); ineligible problems (implicit integrators, cross-knot
-or global-coupled inequalities) fall back to the dense backend with a warning.
+statically (`analyze`); ineligible problems (implicit integrators, windowed
+equality constraints without knot/global residual structure) fall back to
+the dense backend with a warning.
 """
 
 from __future__ import annotations
@@ -80,15 +88,31 @@ class OCPStructure:
     lin_border_rows: np.ndarray  # A_eq row indices NOT promoted (stay border)
     n_g: int  # global-variable count (arrowhead border width)
     g_free: np.ndarray  # (n_g,) 1 where the global coordinate is free
-    # inequality row → (knot, slot) maps
+    # inequality row → (knot, slot) maps (fast rows; border rows masked out)
     in_knot: np.ndarray  # (n_in,)
     in_slot: np.ndarray  # (n_in,)
     m_in: int
-    # linear ineq COO → per-knot block scatter indices
+    # linear ineq COO → per-knot block scatter indices (fast rows only)
     lin_in_nnz: tuple  # (knot, slot, col_local) arrays
+    # border inequalities (multi-knot/global-coupled rows): flat c_in index
+    # of each border row in C-stack order, per-row fast/border mask, and the
+    # A_in row indices of the linear border rows
+    ib_flat: np.ndarray  # (n_ib,)
+    in_fast_mask: np.ndarray  # (n_in,) 1.0 on fast rows
+    ib_lin_rows: np.ndarray  # (n_ib_lin,)
+    lin_nnz_keep: np.ndarray  # (nnz,) per-COO-entry fast-row mask
     # nonlinear constraint row bookkeeping
     nl_eq_offsets: list  # flat offsets of each nl eq constraint's rows
     nl_in_offsets: list
+
+
+def _in_con_border(con) -> bool:
+    """True when a nonlinear inequality constraint must ride the Schur
+    border (global-coupled or pure-global) instead of the per-knot fast
+    path."""
+    return (not hasattr(con, "knot_residual")) or getattr(
+        con, "uses_global", False
+    )
 
 
 def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
@@ -166,25 +190,34 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
 
     # equality constraints: knot-local (optionally global-coupled) or pure
     # global — both are handled (global coupling goes through the arrowhead
-    # border). Inequalities must be knot-local and global-free: their D-scaled
-    # Gram term is folded into the per-knot Q blocks, which global columns
-    # would break.
+    # border). Inequalities split two ways: knot-local global-free rows go
+    # the FAST way (their D-scaled Gram folds into the per-knot Q blocks);
+    # everything else — multi-knot linear rows, global-coupled rows,
+    # global-coupled or pure-global nonlinear constraints — becomes a
+    # **border inequality**: an extra Schur border row whose (2,2) entry is
+    # the exact −1/D_r from slack elimination instead of the −δ_c
+    # regularization, rhs 0 (the linear term already flows through JiTᵀ into
+    # g_hat), multiplier discarded (the IPM recovers dν from D·Ji(dz)).
     for con in nlp.eq_cons:
         if not (hasattr(con, "knot_residual") or hasattr(con, "global_residual")):
             return None
     for con in nlp.in_cons:
-        if not hasattr(con, "knot_residual") or getattr(con, "uses_global", False):
+        if not (hasattr(con, "knot_residual") or hasattr(con, "global_residual")):
             return None
 
-    # every linear inequality row must touch exactly one knot, no global cols
+    # classify linear inequality rows: knot-local global-free → fast path;
+    # multi-knot or global-coupled → border
+    ib_lin_rows = []
+    row_off0 = 0
     for rows, cols, _, _, n in nlp.in_entries:
-        if len(cols) and np.any(cols >= N * d):
-            return None
         knots = cols // d
         for r in range(n):
-            kr = knots[rows == r]
-            if len(kr) and not np.all(kr == kr[0]):
-                return None
+            sel = rows == r
+            cs = cols[sel]
+            if len(cs) and (np.any(cs >= N * d) or not np.all(knots[sel] == knots[sel][0])):
+                ib_lin_rows.append(row_off0 + r)
+        row_off0 += n
+    ib_lin_set = set(ib_lin_rows)
 
     free = np.ones(N * d + n_g)
     free[nlp.fix_idx] = 0.0
@@ -218,16 +251,22 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
 
     s0_mask = free_blk[0, s_idx].copy()
 
-    # inequality row maps
+    # inequality row maps (fast rows only; border rows keep dummy 0/0 slots
+    # and are masked out of every fast-path gather/scatter by in_fast_mask)
     n_in = nlp.n_in
     in_knot = np.zeros(n_in, dtype=np.int64)
     in_slot = np.zeros(n_in, dtype=np.int64)
+    in_fast_mask = np.ones(n_in)
     per_knot_count = np.zeros(N, dtype=np.int64)
     row_off = 0
     lin_nnz_knot, lin_nnz_slot, lin_nnz_col = [], [], []
+    lin_nnz_keep = []  # per-COO-entry: True when the entry's row is fast
     lin_row_slot = {}
     for rows, cols, _, _, n in nlp.in_entries:
         for r in range(n):
+            if row_off + r in ib_lin_set:
+                in_fast_mask[row_off + r] = 0.0
+                continue
             sel = rows == r
             kr = int((cols[sel] // d)[0]) if np.any(sel) else 0
             in_knot[row_off + r] = kr
@@ -235,16 +274,27 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
             lin_row_slot[row_off + r] = (kr, per_knot_count[kr])
             per_knot_count[kr] += 1
         for rr, cc in zip(rows, cols):
+            if row_off + rr in ib_lin_set:
+                lin_nnz_keep.append(False)
+                continue
+            lin_nnz_keep.append(True)
             kr, sl = lin_row_slot[row_off + rr]
             lin_nnz_knot.append(kr)
             lin_nnz_slot.append(sl)
             lin_nnz_col.append(cc % d)
         row_off += n
     nl_in_offsets = []
+    ib_nl_flat = []
     for con in nlp.in_cons:
         nl_in_offsets.append(row_off)  # flat offset within c_in
-        times = np.asarray(con.times)
         gd = con.g_dim
+        if _in_con_border(con):
+            T = len(np.asarray(con.times)) if hasattr(con, "knot_residual") else 1
+            ib_nl_flat.extend(range(row_off, row_off + T * gd))
+            in_fast_mask[row_off : row_off + T * gd] = 0.0
+            row_off += T * gd
+            continue
+        times = np.asarray(con.times)
         for t in times:
             for j in range(gd):
                 in_knot[row_off] = t
@@ -252,6 +302,11 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
                 per_knot_count[t] += 1
                 row_off += 1
     m_in = int(per_knot_count.max()) if n_in else 0
+    # border-ineq flat c_in indices, in C-stack row order: linear rows first,
+    # then nonlinear border constraints in constraint order
+    ib_flat = np.asarray(
+        ib_lin_rows + ib_nl_flat, dtype=np.int64
+    )
 
     nl_eq_offsets = []
     off = nlp.n_dyn + nlp.n_lin_eq
@@ -285,6 +340,10 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
             np.asarray(lin_nnz_slot, dtype=np.int64),
             np.asarray(lin_nnz_col, dtype=np.int64),
         ),
+        ib_flat=ib_flat,
+        in_fast_mask=in_fast_mask,
+        ib_lin_rows=np.asarray(ib_lin_rows, dtype=np.int64),
+        lin_nnz_keep=np.asarray(lin_nnz_keep, dtype=bool),
         nl_eq_offsets=nl_eq_offsets,
         nl_in_offsets=nl_in_offsets,
     )
@@ -370,6 +429,7 @@ class _RiccatiCtx:
         self.nl_eq_jacs = [nl_jac(c) for c in nlp.eq_cons]
         self.nl_in_jacs = [nl_jac(c) for c in nlp.in_cons]
         self.nl_eq_jacs_g = [nl_jac_g(c) for c in nlp.eq_cons]
+        self.nl_in_jacs_g = [nl_jac_g(c) for c in nlp.in_cons]
 
         # Lagrangian Hessian blocks Q_W (N, d, d): objective + integrators +
         # nonlinear constraints (multipliers from lam / nu)
@@ -435,19 +495,30 @@ class _RiccatiCtx:
                     axis=0,
                 )
             Hgg = Hgg + jax.hessian(lambda g: obj.cost_global(layout, g))(gvec)
-            # equality-constraint Lagrangian cross terms (global-coupled knot
-            # cons + pure-global cons); inequalities are global-free here.
-            # λ-weighted constraint curvature — dropped under Gauss-Newton.
-            eq_arrow = [] if gauss_newton else list(
-                zip(nlp.eq_cons, S.nl_eq_offsets, self.nl_eq_jacs_g)
+            # constraint Lagrangian cross terms (global-coupled knot cons +
+            # pure-global cons), equality (λ-weighted) AND inequality
+            # (ν-weighted, border rows) — dropped under Gauss-Newton.
+            eq_arrow = [] if gauss_newton else (
+                [
+                    (con, o, jg, lam)
+                    for con, o, jg in zip(
+                        nlp.eq_cons, S.nl_eq_offsets, self.nl_eq_jacs_g
+                    )
+                ]
+                + [
+                    (con, o, jg, nu)
+                    for con, o, jg in zip(
+                        nlp.in_cons, S.nl_in_offsets, self.nl_in_jacs_g
+                    )
+                ]
             )
-            for con, o, jg in eq_arrow:
+            for con, o, jg, mults in eq_arrow:
                 if jg is None:
                     continue
                 if hasattr(con, "knot_residual"):
                     times = np.asarray(con.times)
                     T, gd = len(times), con.g_dim
-                    mu = lam[o : o + T * gd].reshape(T, gd)
+                    mu = mults[o : o + T * gd].reshape(T, gd)
                     idx = jnp.arange(T)
 
                     def lagr(z, g, i, m):
@@ -469,7 +540,7 @@ class _RiccatiCtx:
                     )
                 else:
                     gd = con.g_dim
-                    mu_g = lam[o : o + gd]
+                    mu_g = mults[o : o + gd]
                     Hgg = Hgg + jax.hessian(
                         lambda g: jnp.dot(mu_g, con.global_residual(layout, g))
                     )(gvec)
@@ -486,11 +557,17 @@ class _RiccatiCtx:
             Jin = jnp.zeros((N, S.m_in, d), dtype=dtype)
             kz, sz, cz = S.lin_in_nnz
             if len(kz):
-                # values from the canonical COO entries, in order
+                # values from the canonical COO entries, in order, restricted
+                # to fast rows (border-row entries live in Jib below)
                 vals = jnp.concatenate([e[2] for e in nlp.in_entries]).astype(dtype)
+                vals = vals[jnp.asarray(np.nonzero(S.lin_nnz_keep)[0])]
                 Jin = Jin.at[jnp.asarray(kz), jnp.asarray(sz), jnp.asarray(cz)].add(vals)
             row = sum(e[4] for e in nlp.in_entries)
             for con, jac in zip(nlp.in_cons, self.nl_in_jacs):
+                if _in_con_border(con):
+                    T = len(np.asarray(con.times)) if hasattr(con, "knot_residual") else 1
+                    row += T * con.g_dim
+                    continue
                 times = np.asarray(con.times)
                 T, gd = len(times), con.g_dim
                 kn = S.in_knot[row : row + T * gd].reshape(T, gd)
@@ -502,6 +579,53 @@ class _RiccatiCtx:
         else:
             self.Jin = jnp.zeros((N, max(S.m_in, 0), d), dtype=dtype)
             self.Jin_raw = self.Jin
+
+        # ---- border-inequality Jacobians (raw, unmasked) ------------------ #
+        # Row order matches S.ib_flat: linear border rows, then nonlinear
+        # border constraints in constraint order. Knot part (n_ib, N, d) and
+        # global columns (n_ib, n_g).
+        n_ib = len(S.ib_flat)
+        self.n_ib = n_ib
+        if n_ib:
+            Jib_z = jnp.zeros((n_ib, N, d), dtype=dtype)
+            Jib_g = jnp.zeros((n_ib, n_g), dtype=dtype)
+            pos = 0
+            n_ibl = len(S.ib_lin_rows)
+            if n_ibl:
+                A_rows = nlp.A_in.select_rows(S.ib_lin_rows, dtype)
+                Jib_z = Jib_z.at[:n_ibl].set(
+                    A_rows[:, : N * d].reshape(n_ibl, N, d)
+                )
+                if n_g:
+                    Jib_g = Jib_g.at[:n_ibl].set(A_rows[:, N * d :])
+                pos = n_ibl
+            for con, jac, jac_g in zip(
+                nlp.in_cons, self.nl_in_jacs, self.nl_in_jacs_g
+            ):
+                if not _in_con_border(con):
+                    continue
+                gd = con.g_dim
+                if hasattr(con, "knot_residual"):
+                    times = np.asarray(con.times)
+                    T = len(times)
+                    rows_ix = jnp.arange(pos, pos + T * gd).reshape(T, gd)
+                    Jib_z = Jib_z.at[rows_ix, jnp.asarray(times)[:, None], :].set(jac)
+                    if n_g and jac_g is not None:
+                        Jib_g = Jib_g.at[pos : pos + T * gd].set(
+                            jac_g.reshape(T * gd, n_g)
+                        )
+                    pos += T * gd
+                else:  # pure-global
+                    if n_g and jac_g is not None:
+                        Jib_g = Jib_g.at[pos : pos + gd].set(jac_g)
+                    pos += gd
+            self.Jib_z = Jib_z
+            self.Jib_g = Jib_g
+        else:
+            self.Jib_z = jnp.zeros((0, N, d), dtype=dtype)
+            self.Jib_g = jnp.zeros((0, n_g), dtype=dtype)
+        self.ib_flat_j = jnp.asarray(S.ib_flat)
+        self.in_fast_mask_j = jnp.asarray(S.in_fast_mask, dtype=dtype)
 
     # ---------------- matvecs -------------------------------------------- #
 
@@ -552,21 +676,42 @@ class _RiccatiCtx:
         if nlp.n_in == 0:
             return jnp.zeros((nlp.z_dim,), dtype=self.dtype)
         # scatter flat v into (N, m) then apply block transpose (blocks are
-        # free-masked; JiT is used in contexts multiplied by free anyway)
-        vb = jnp.zeros((S.N, max(S.m_in, 1)), dtype=self.dtype)
-        vb = vb.at[jnp.asarray(S.in_knot), jnp.asarray(S.in_slot)].add(v)
-        out = jnp.einsum("nmd,nm->nd", self.Jin_raw, vb[:, : S.m_in])
-        return jnp.concatenate(
-            [out.reshape(-1), jnp.zeros((S.n_g,), dtype=self.dtype)]
-        )
+        # free-masked; JiT is used in contexts multiplied by free anyway).
+        # Border rows are masked out of the fast scatter and applied via
+        # their dense Jib rows (knot + global columns).
+        if S.m_in:
+            vb = jnp.zeros((S.N, S.m_in), dtype=self.dtype)
+            vb = vb.at[jnp.asarray(S.in_knot), jnp.asarray(S.in_slot)].add(
+                v * self.in_fast_mask_j
+            )
+            out = jnp.einsum("nmd,nm->nd", self.Jin_raw, vb)
+        else:
+            out = jnp.zeros((S.N, S.d), dtype=self.dtype)
+        out_g = jnp.zeros((S.n_g,), dtype=self.dtype)
+        if self.n_ib:
+            v_ib = v[self.ib_flat_j]
+            out = out + jnp.einsum("jnd,j->nd", self.Jib_z, v_ib)
+            out_g = out_g + self.Jib_g.T @ v_ib
+        return jnp.concatenate([out.reshape(-1), out_g])
 
     def Ji(self, v):
         nlp, S = self.nlp, self.S
         if nlp.n_in == 0:
             return jnp.zeros((0,), dtype=self.dtype)
-        vm = (v * nlp.free_mask.astype(self.dtype))[: S.N * S.d].reshape(S.N, S.d)
-        prod = jnp.einsum("nmd,nd->nm", self.Jin, vm)
-        return prod[jnp.asarray(S.in_knot), jnp.asarray(S.in_slot)]
+        vfull = v * nlp.free_mask.astype(self.dtype)
+        vm = vfull[: S.N * S.d].reshape(S.N, S.d)
+        if S.m_in:
+            prod = jnp.einsum("nmd,nd->nm", self.Jin, vm)
+            out = prod[jnp.asarray(S.in_knot), jnp.asarray(S.in_slot)]
+        else:
+            out = jnp.zeros((nlp.n_in,), dtype=self.dtype)
+        if self.n_ib:
+            out = out * self.in_fast_mask_j
+            ib_vals = jnp.einsum("jnd,nd->j", self.Jib_z, vm)
+            if S.n_g:
+                ib_vals = ib_vals + self.Jib_g @ vfull[S.N * S.d :]
+            out = out.at[self.ib_flat_j].set(ib_vals)
+        return out
 
     # ---------------- KKT solve ------------------------------------------ #
 
@@ -602,7 +747,9 @@ class _RiccatiCtx:
             Hzg_m = Hgg_m = None
         if nlp.n_in and S.m_in:
             Db = jnp.zeros((N, S.m_in), dtype=dtype)
-            Db = Db.at[jnp.asarray(S.in_knot), jnp.asarray(S.in_slot)].add(D)
+            Db = Db.at[jnp.asarray(S.in_knot), jnp.asarray(S.in_slot)].add(
+                D * self.in_fast_mask_j
+            )
             Q = Q + jnp.einsum("nmd,nm,nme->nde", self.Jin, Db, self.Jin)
 
         # ---- dynamics blocks --------------------------------------------- #
@@ -693,6 +840,27 @@ class _RiccatiCtx:
                 Cg_rows.append(jac_g * gf[None, :])
                 rhs_cc.append(rhs_c[o : o + gd])
                 loc_mask_parts.append(np.zeros(gd))
+        # ---- border INEQUALITIES (multi-knot linear rows, global-coupled /
+        # pure-global nonlinear rows): same Schur border, but the (2,2)
+        # diagonal is the EXACT −1/D_r from slack elimination (not the δc
+        # regularization), the rhs is 0 (the linear term already reached
+        # g_hat via JiT upstream in the IPM), and the multiplier is
+        # discarded — the IPM recovers dν from D·Ji(dz). Eliminating λ_b
+        # reproduces (K + J_ibᵀ D J_ib) dz = rhs exactly. ---------------- #
+        n_ib = self.n_ib
+        n_border += n_ib
+        if n_ib:
+            C_rows.append(self.Jib_z * f_blk[None])
+            Cg_rows.append(
+                self.Jib_g * gf[None, :]
+                if n_g
+                else jnp.zeros((n_ib, 0), dtype=dtype)
+            )
+            rhs_cc.append(jnp.zeros((n_ib,), dtype=dtype))
+            loc_mask_parts.append(np.zeros(n_ib))
+            e_ib = 1.0 / jnp.maximum(D[self.ib_flat_j], jnp.asarray(1e-30, dtype))
+        else:
+            e_ib = jnp.zeros((0,), dtype=dtype)
         if n_border:
             C = jnp.concatenate(C_rows, axis=0)  # (m_c, N, d)
             Cg = (
@@ -746,6 +914,14 @@ class _RiccatiCtx:
 
         m_c = C.shape[0]
         R_all = m_c + n_g + 1  # border + arrowhead columns + main rhs
+        # per-border-row (2,2) diagonal: δc regularization on equality rows,
+        # exact 1/D on inequality rows. refine_e keeps the 1/D term in the
+        # Newton-refinement residual (it is part of the true system, not a
+        # perturbation to iterate away like δc).
+        diag_e = jnp.concatenate(
+            [jnp.full((m_c - n_ib,), opt.delta_c, dtype=dtype), e_ib]
+        )
+        refine_e = jnp.concatenate([jnp.zeros((m_c - n_ib,), dtype=dtype), e_ib])
 
         def _rho_adjust(rhs_z_blk, rhs_c_flat):
             """Augmented-Lagrangian rhs shift matching the ρ·cᵀc in Q."""
@@ -825,9 +1001,7 @@ class _RiccatiCtx:
             )
             if m_c:
                 X = dz_all_[:m_c]
-                Smat = jnp.einsum("jnd,knd->jk", C, X) + opt.delta_c * jnp.eye(
-                    m_c, dtype=dtype
-                )
+                Smat = jnp.einsum("jnd,knd->jk", C, X) + jnp.diag(diag_e)
                 Ls_ = jnp.linalg.cholesky(Smat)
                 ok_s = jnp.all(jnp.isfinite(Ls_))
                 Ls_ = jnp.where(jnp.isfinite(Ls_), Ls_, jnp.eye(m_c, dtype=dtype))
@@ -878,9 +1052,7 @@ class _RiccatiCtx:
             Hgg_d = Hgg_m + delta * jnp.diag(gf)
         elif m_c:
             Xz, Xlam = dz_all[:m_c], lamS[:m_c]
-            Smat = jnp.einsum("jnd,knd->jk", C, Xz) + opt.delta_c * jnp.eye(
-                m_c, dtype=dtype
-            )
+            Smat = jnp.einsum("jnd,knd->jk", C, Xz) + jnp.diag(diag_e)
             Ls = jnp.linalg.cholesky(Smat)
             ok_s_factor = jnp.all(jnp.isfinite(Ls))
             Ls = jnp.where(jnp.isfinite(Ls), Ls, jnp.eye(m_c, dtype=dtype))
@@ -922,6 +1094,7 @@ class _RiccatiCtx:
                     R1 = (
                         jnp.einsum("jnd,nd->j", C, dz)
                         + (Cg @ dg if n_g else 0.0)
+                        - (refine_e * lam_c if n_ib else 0.0)
                         - rcc_j
                     )
                 else:
@@ -997,6 +1170,8 @@ class _RiccatiCtx:
             for con, o in zip(nlp.eq_cons, S.nl_eq_offsets):
                 cd = con.constraint_dim(nlp.layout)
                 parts.append(rhs_c_flat[o : o + cd])
+            if n_ib:  # border-inequality rows always carry rhs 0
+                parts.append(jnp.zeros((n_ib,), dtype=dtype))
             if parts:
                 return jnp.concatenate(parts)
             return jnp.zeros((0,), dtype=dtype)

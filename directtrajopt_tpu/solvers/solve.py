@@ -153,9 +153,9 @@ def _make_ops(nlp, backend: str):
         import warnings
 
         warnings.warn(
-            "problem is not Riccati-eligible (implicit integrator, cross-knot "
-            "or global-coupled inequality, or multi-knot linear inequality "
-            "row); using the dense KKT backend — expect O((N·d)^3) solves",
+            "problem is not Riccati-eligible (implicit integrator, or a "
+            "constraint without knot/global residual structure); using the "
+            "dense KKT backend — expect O((N·d)^3) solves",
             stacklevel=3,
         )
     from .ops_dense import DenseOps

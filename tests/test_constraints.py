@@ -127,6 +127,31 @@ def test_total_constraint_nontimestep():
     )
 
 
+def test_total_constraint_range():
+    """lb=/ub= form lowers to inequality rows Σv ≤ ub and −Σv ≤ −lb."""
+    traj = make_traj()
+    con = TotalConstraint.create("u", lb=-1.5, ub=2.0)
+    canon = lower_one(con, traj)
+    A, b = dense_rows(canon, traj.layout.z_dim, kind="ineq")
+    assert A.shape[0] == 2
+    Z = np.asarray(traj.to_zvec())
+    total = np.sum(np.asarray(traj.data["u"][:, 0]))
+    np.testing.assert_allclose((A @ Z)[0], total, atol=1e-12)
+    np.testing.assert_allclose((A @ Z)[1], -total, atol=1e-12)
+    np.testing.assert_allclose(b, [2.0, 1.5])
+    # one-sided forms
+    con_ub = DurationConstraint(ub=0.6)
+    canon_ub = lower_one(con_ub, traj)
+    A_ub, b_ub = dense_rows(canon_ub, traj.layout.z_dim, kind="ineq")
+    assert A_ub.shape[0] == 1 and b_ub[0] == 0.6
+    import pytest
+
+    with pytest.raises(ValueError):
+        TotalConstraint.create("u")
+    with pytest.raises(ValueError):
+        TotalConstraint.create("u", 1.0, ub=2.0)
+
+
 def test_symmetry_constraint():
     traj = make_traj()
     con = SymmetryConstraint.create("x", [0, 1], even=True)

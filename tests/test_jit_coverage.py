@@ -56,6 +56,9 @@ def _case(name):
         cons = [dtx.TimeStepsAllEqualConstraint()]
     elif name == "total":
         cons = [dtx.TotalConstraint.create("u", 0.5)]
+    elif name == "total_range":
+        # multi-knot linear inequality rows → Riccati border inequalities
+        cons = [dtx.TotalConstraint.create("u", lb=-1.0, ub=1.0)]
     elif name == "symmetric_control":
         cons = [dtx.SymmetricControlConstraint("u", [0])]
     elif name == "bounds_subcomponents":
@@ -103,6 +106,7 @@ _CASES = [
     "all_equal",
     "timesteps_all_equal",
     "total",
+    "total_range",
     "symmetric_control",
     "bounds_subcomponents",
     "global_bounds",

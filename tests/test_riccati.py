@@ -23,6 +23,7 @@ def make_problem(
     with_symmetry=True,
     with_duration=True,
     with_globals=False,
+    with_border_ineq=False,
     N=9,
     seed=0,
 ):
@@ -114,6 +115,42 @@ def make_problem(
                 "theta", np.array([[1.0, -0.5]]), lb=[0.1], ub=[0.1]
             )
         )
+    if with_border_ineq:
+        # multi-knot linear inequality rows: a duration RANGE (Σdt within
+        # [lb, ub] — two border rows) when time is free, else a total-u range
+        if free_time:
+            cons.append(
+                dtx.DurationConstraint(lb=0.05 * (N - 1), ub=0.2 * (N - 1))
+            )
+        else:
+            cons.append(dtx.TotalConstraint.create("u", lb=-2.0, ub=2.0))
+        if with_globals:
+            # global-coupled nonlinear inequality (knot + global columns)
+            cons.append(
+                dtx.NonlinearGlobalKnotPointConstraint.create(
+                    lambda v: jnp.array([v[0] ** 2 + 0.3 * v[-1] - 1.2]),
+                    "x",
+                    "theta",
+                    traj,
+                    times=[1, 4],
+                    equality=False,
+                )
+            )
+            # pure-global nonlinear inequality
+            cons.append(
+                dtx.NonlinearGlobalConstraint.create(
+                    lambda th: jnp.array([jnp.sum(th**2) - 1.8]),
+                    "theta",
+                    traj,
+                    equality=False,
+                )
+            )
+            # pure-global linear inequality rows (range → two rows)
+            cons.append(
+                dtx.GlobalLinearConstraint.create(
+                    "theta", np.array([[0.7, 1.0]]), lb=[-1.5], ub=[1.5]
+                )
+            )
     return dtx.DirectTrajOptProblem.create(traj, obj, integs, constraints=cons)
 
 
@@ -262,6 +299,18 @@ def test_ops_agree_no_inequalities():
     )
 
 
+def test_ops_agree_border_ineq():
+    """Multi-knot linear inequality rows (duration range) ride the Schur
+    border with the exact −1/D diagonal — no dense fallback, no globals."""
+    _compare_ops(make_problem(with_border_ineq=True))
+
+
+def test_ops_agree_border_ineq_globals():
+    """Border inequalities composed with the arrowhead: global-coupled and
+    pure-global nonlinear inequalities + global linear inequality rows."""
+    _compare_ops(make_problem(with_border_ineq=True, with_globals=True))
+
+
 def test_eligibility():
     # globals -> eligible since round 2 (arrowhead border)
     N = 5
@@ -276,7 +325,7 @@ def test_eligibility():
         dtx.DerivativeIntegrator.create("x", "v", traj),
     )
     assert analyze(make_nlp(prob)) is not None
-    # global-coupled INEQUALITY -> ineligible (falls back to dense)
+    # global-coupled INEQUALITY -> eligible since round 3 (border ineq rows)
     prob_gi = dtx.DirectTrajOptProblem.create(
         traj,
         dtx.QuadraticRegularizer.create("v", traj, 1.0),
@@ -291,7 +340,8 @@ def test_eligibility():
             )
         ],
     )
-    assert analyze(make_nlp(prob_gi)) is None
+    S_gi = analyze(make_nlp(prob_gi))
+    assert S_gi is not None and len(S_gi.ib_flat) == N
     # plain OCP -> eligible
     traj2 = dtx.Trajectory.create(
         {"x": np.zeros((N, 1)), "v": np.zeros((N, 1))}, timestep=0.1
@@ -437,6 +487,54 @@ def test_e2e_riccati_matches_dense_globals():
     np.testing.assert_allclose(
         np.asarray(res_r.ipm.Z), np.asarray(res_d.ipm.Z), atol=1e-5
     )
+
+
+def test_e2e_riccati_border_ineq_binding():
+    """E2E with a BINDING duration upper bound (multi-knot linear inequality
+    on the border): both backends converge to the same point, and the bound
+    is active — a free-time minimum-energy problem wants long durations, so
+    Σdt must land on ub."""
+    rng = np.random.default_rng(11)
+    N = 12
+    integ = dtx.BilinearIntegrator.create((G_DRIFT, [G_DRIVE]), "x", "u", None)
+    u = 0.3 * np.sin(np.linspace(0, 4, N))[:, None]
+    xs = dtx.bilinear_rollout(integ, jnp.array([1.0, 0.0]), jnp.asarray(u), 0.12)
+    traj = dtx.Trajectory.create(
+        {
+            "x": np.asarray(xs) + 0.01 * rng.normal(size=(N, 2)),
+            "u": u,
+            "dt": np.full((N, 1), 0.12),
+        },
+        timestep="dt",
+        controls="u",
+        initial={"x": [1.0, 0.0]},
+        final={"x": np.asarray(xs[-1])},
+        bounds={"u": 0.8, "dt": (0.02, 0.5)},
+    )
+    # pure energy objective (no time cost): the unconstrained optimum sits
+    # at Σdt ≈ 1.22 here, so a cap at 0.1·(N−1) = 1.1 binds
+    obj = dtx.QuadraticRegularizer.create("u", traj, 1.0)
+    ub = 0.10 * (N - 1)
+    cons = [dtx.DurationConstraint(lb=0.02 * (N - 1), ub=ub)]
+    prob = dtx.DirectTrajOptProblem.create(
+        traj,
+        obj,
+        [dtx.BilinearIntegrator.create((G_DRIFT, [G_DRIVE]), "x", "u", traj)],
+        constraints=cons,
+    )
+    from directtrajopt_tpu.solvers.canonical import make_nlp as _mk
+
+    S = analyze(_mk(prob))
+    assert S is not None and len(S.ib_flat) == 2, "duration range → 2 border rows"
+    res_d = dtx.solve(prob, backend="dense", max_iter=200)
+    res_r = dtx.solve(prob, backend="riccati", max_iter=200)
+    assert bool(res_d.converged) and bool(res_r.converged)
+    assert float(res_d.kkt_error) < 1e-7 and float(res_r.kkt_error) < 1e-7
+    np.testing.assert_allclose(
+        np.asarray(res_r.ipm.Z), np.asarray(res_d.ipm.Z), atol=1e-5
+    )
+    dur = float(np.sum(np.asarray(res_r.problem.trajectory.data["dt"])[:-1]))
+    assert abs(dur - ub) < 1e-5, f"duration cap should bind: {dur} vs {ub}"
 
 
 def test_e2e_riccati_simple_bilinear():
