@@ -171,6 +171,15 @@ def stack_jacobians_zk(integrator, layout: Layout, zmat: jax.Array) -> jax.Array
     """
     import os
 
+    # integrator-provided closed-form stack (e.g. the bilinear expv tangent
+    # recurrences, Pallas batch-on-lanes on TPU) — the generic jacfwd path
+    # below is the profiled prepare bottleneck (tools/profile_iter.py)
+    custom = getattr(integrator, "jacobians_zk_stacked", None)
+    if custom is not None and os.environ.get("DTX_ZK_KERNEL", "1") != "0":
+        out = custom(layout, zmat)
+        if out is not None:
+            return out
+
     dim = layout.dim
     ks = jnp.arange(layout.N - 1)
     # generic full-width AD by default: fastest at z_k width (see _read_cols)

@@ -157,6 +157,43 @@ class BilinearIntegrator:
         Hxt_full = Ex.T @ Hxt @ Et  # (d, d)
         return Hxt_full + Hxt_full.T + Et.T @ Htt @ Et
 
+    def jacobians_zk_stacked(self, layout: Layout, zmat: jax.Array):
+        """Closed-form stacked ``∂residual/∂z_k`` — the batch-on-lanes fast
+        path for the IPM's dominant prepare cost (see ``ops/expv_kernel.py``;
+        profiled at 50% of the whole iteration under generic jacfwd).
+        Returns None when ineligible (callable G, Padé method) so the caller
+        falls back to generic window AD."""
+        import numpy as np
+
+        if self.G_fn is not None or self.method != "taylor":
+            return None
+        from ..ops.expv_kernel import make_window_jac
+
+        dim = layout.dim
+        dtype = zmat.dtype
+        cs_x = layout.comp_slice(self.x_name)
+        cs_u = layout.comp_slice(self.u_name)
+        free_t = bool(layout.has_free_time)
+        x = zmat[:-1, cs_x]
+        u = zmat[:-1, cs_u]
+        if free_t:
+            dt = zmat[:-1, layout.offsets[layout.timestep]]
+        else:
+            dt = jnp.full((zmat.shape[0] - 1,), layout.timestep, dtype=dtype)
+        J = make_window_jac(self.taylor_order, free_t)(
+            self.G_drift.astype(dtype), self.G_drives.astype(dtype), u, dt, x
+        )  # (N-1, xd, n_th) = ∂(E x)/∂(x, u[, Δt])
+        # scatter the window columns into z_k width via a static one-hot
+        # (index scatters serialize on TPU; this is one tiny matmul)
+        cols = list(range(cs_x.start, cs_x.stop)) + list(
+            range(cs_u.start, cs_u.stop)
+        )
+        if free_t:
+            cols.append(layout.offsets[layout.timestep])
+        Em = np.zeros((len(cols), dim))
+        Em[np.arange(len(cols)), cols] = 1.0
+        return -(J @ jnp.asarray(Em, dtype=dtype))
+
     def residual(self, layout: Layout, w: jax.Array, k: jax.Array) -> jax.Array:
         dim = layout.dim
         zk, zk1 = w[:dim], w[dim:]

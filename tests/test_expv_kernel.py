@@ -1,0 +1,165 @@
+"""Closed-form bilinear window Jacobians (ops/expv_kernel.py) vs generic
+window AD — the correctness anchor for the prepare-stage fast path."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import directtrajopt_tpu as dtx
+from directtrajopt_tpu.integrators.base import stack_jacobians_zk
+from directtrajopt_tpu.ops.expv_kernel import (
+    _window_jac_pallas,
+    _window_jac_xla,
+    make_window_jac,
+)
+
+
+def _mk_traj(N=9, free_time=True, seed=0, n_dr=2, xd=4):
+    rng = np.random.default_rng(seed)
+    data = {
+        "x": 0.4 * rng.normal(size=(N, xd)),
+        "u": 0.3 * rng.normal(size=(N, n_dr)),
+    }
+    if free_time:
+        data["dt"] = 0.1 + 0.05 * rng.random((N, 1))
+    return dtx.Trajectory.create(
+        data,
+        timestep="dt" if free_time else 0.12,
+        controls="u",
+        bounds={"dt": (0.01, 0.5)} if free_time else None,
+    )
+
+
+def _mk_integ(seed=0, n_dr=2, xd=4, order=6):
+    rng = np.random.default_rng(100 + seed)
+    Gd = rng.normal(size=(xd, xd))
+    Gd = Gd - Gd.T
+    Gv = [g - g.T for g in rng.normal(size=(n_dr, xd, xd))]
+    return dtx.BilinearIntegrator.create(
+        (Gd, Gv), "x", "u", None, method="taylor", taylor_order=order
+    )
+
+
+@pytest.mark.parametrize("free_time", [True, False])
+@pytest.mark.parametrize("order", [3, 6, 12])
+def test_closed_form_matches_jacfwd(free_time, order):
+    """The tangent recurrences must equal jacfwd of the SAME Taylor chain
+    to fp round-off (identical recurrence, identical division order)."""
+    traj = _mk_traj(free_time=free_time)
+    integ = _mk_integ(order=order)
+    layout = traj.layout
+    zmat = traj.to_zvec().reshape(layout.N, layout.dim)
+
+    J_fast = stack_jacobians_zk(integ, layout, zmat)
+    os.environ["DTX_ZK_KERNEL"] = "0"
+    try:
+        J_ref = stack_jacobians_zk(integ, layout, zmat)
+    finally:
+        os.environ.pop("DTX_ZK_KERNEL")
+    np.testing.assert_allclose(
+        np.asarray(J_fast), np.asarray(J_ref), atol=1e-13, rtol=1e-12
+    )
+
+
+def test_closed_form_matches_jacfwd_f32_batched():
+    """vmapped over scenarios (the production shape), f32."""
+    B = 5
+    trajs = [_mk_traj(seed=s) for s in range(B)]
+    integ = _mk_integ()
+    layout = trajs[0].layout
+    zb = jnp.stack(
+        [t.to_zvec().reshape(layout.N, layout.dim) for t in trajs]
+    ).astype(jnp.float32)
+    integ32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32) if hasattr(x, "dtype") else x, integ
+    )
+
+    fast = jax.jit(jax.vmap(lambda z: stack_jacobians_zk(integ32, layout, z)))(zb)
+    os.environ["DTX_ZK_KERNEL"] = "0"
+    try:
+        ref = jax.jit(jax.vmap(lambda z: stack_jacobians_zk(integ32, layout, z)))(zb)
+    finally:
+        os.environ.pop("DTX_ZK_KERNEL")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.parametrize("free_time", [True, False])
+def test_pallas_interpret_matches_xla(free_time):
+    """The Pallas kernel (interpreter mode on CPU) == the XLA recurrence."""
+    rng = np.random.default_rng(3)
+    B, K, xd, n_dr, order = 5, 7, 4, 2, 6
+    Gd = rng.normal(size=(B, xd, xd)).astype(np.float32)
+    Gv = rng.normal(size=(B, n_dr, xd, xd)).astype(np.float32)
+    u = (0.3 * rng.normal(size=(B, K, n_dr))).astype(np.float32)
+    dt = (0.1 + 0.05 * rng.random((B, K))).astype(np.float32)
+    x = rng.normal(size=(B, K, xd)).astype(np.float32)
+
+    out_k = _window_jac_pallas(
+        order, free_time, *map(jnp.asarray, (Gd, Gv, u, dt, x)), interpret=True
+    )
+    out_x = jax.vmap(
+        lambda *a: _window_jac_xla(order, free_time, *a)
+    )(*map(jnp.asarray, (Gd, Gv, u, dt, x)))
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-6)
+
+
+def test_pallas_interpret_odd_batch_padding():
+    """Batch not a multiple of the lane width exercises the pad path."""
+    rng = np.random.default_rng(4)
+    B, K, xd, n_dr, order = 3, 4, 3, 1, 4
+    args = (
+        rng.normal(size=(B, xd, xd)).astype(np.float32),
+        rng.normal(size=(B, n_dr, xd, xd)).astype(np.float32),
+        (0.2 * rng.normal(size=(B, K, n_dr))).astype(np.float32),
+        (0.1 + 0.02 * rng.random((B, K))).astype(np.float32),
+        rng.normal(size=(B, K, xd)).astype(np.float32),
+    )
+    out_k = _window_jac_pallas(order, True, *map(jnp.asarray, args), interpret=True)
+    out_x = jax.vmap(lambda *a: _window_jac_xla(order, True, *a))(
+        *map(jnp.asarray, args)
+    )
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-6)
+
+
+def test_custom_vmap_unbatched_and_batched():
+    rng = np.random.default_rng(5)
+    K, xd, n_dr, order = 6, 4, 2, 6
+    fn = make_window_jac(order, True)
+    Gd = jnp.asarray(rng.normal(size=(xd, xd)))
+    Gv = jnp.asarray(rng.normal(size=(n_dr, xd, xd)))
+    u = jnp.asarray(0.3 * rng.normal(size=(K, n_dr)))
+    dt = jnp.asarray(0.1 + 0.02 * rng.random(K))
+    x = jnp.asarray(rng.normal(size=(K, xd)))
+    out1 = fn(Gd, Gv, u, dt, x)
+    assert out1.shape == (K, xd, xd + n_dr + 1)
+    # batched (shared G broadcast: in_batched False on Gd/Gv)
+    ub = jnp.stack([u, 2 * u, 0.5 * u])
+    xb = jnp.stack([x, -x, x + 0.1])
+    dtb = jnp.stack([dt, dt, dt * 1.1])
+    outb = jax.vmap(lambda uu, tt, xx: fn(Gd, Gv, uu, tt, xx))(ub, dtb, xb)
+    np.testing.assert_allclose(
+        np.asarray(outb[0]), np.asarray(out1), atol=1e-12
+    )
+
+
+def test_e2e_solve_matches_generic_path():
+    """Full IPM solve with the closed-form prepare == generic-AD prepare."""
+    from directtrajopt_tpu.benchmarks import make_bilinear_problem
+
+    prob = make_bilinear_problem(N=21, feasible_start=True)
+    res_fast = dtx.solve(prob, max_iter=60)
+    # env toggles act at TRACE time — drop compiled programs in between
+    jax.clear_caches()
+    os.environ["DTX_ZK_KERNEL"] = "0"
+    try:
+        res_ref = dtx.solve(prob, max_iter=60)
+    finally:
+        os.environ.pop("DTX_ZK_KERNEL")
+        jax.clear_caches()
+    assert bool(res_fast.converged) and bool(res_ref.converged)
+    np.testing.assert_allclose(
+        np.asarray(res_fast.ipm.Z), np.asarray(res_ref.ipm.Z), atol=1e-7
+    )
