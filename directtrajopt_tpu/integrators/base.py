@@ -43,6 +43,16 @@ def integrator_dim(integrator, layout: Layout) -> int:
 
 def stack_residuals(integrator, layout: Layout, zmat: jax.Array) -> jax.Array:
     """Evaluate all window residuals: ``(N-1, x_dim)``."""
+    import os
+
+    # integrator-provided closed-form stack (bilinear expv action on lanes —
+    # the line-search trial grid is the hottest caller; tools/profile_iter.py)
+    custom = getattr(integrator, "residuals_stacked", None)
+    if custom is not None and os.environ.get("DTX_RES_KERNEL", "1") != "0":
+        out = custom(layout, zmat)
+        if out is not None:
+            return out
+
     W = windows(zmat)
     ks = jnp.arange(layout.N - 1)
     return jax.vmap(lambda w, k: integrator.residual(layout, w, k))(W, ks)

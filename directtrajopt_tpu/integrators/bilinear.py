@@ -157,6 +157,38 @@ class BilinearIntegrator:
         Hxt_full = Ex.T @ Hxt @ Et  # (d, d)
         return Hxt_full + Hxt_full.T + Et.T @ Htt @ Et
 
+    def residuals_stacked(self, layout: Layout, zmat: jax.Array):
+        """Closed-form stacked residuals ``x_{k+1} − E(u_k,Δt_k)x_k`` for all
+        windows — routes the line-search trial-grid evaluations (the hottest
+        c_eq consumer) through the batch-on-lanes chain in
+        ``ops/expv_kernel.py``. None when ineligible.
+
+        f32-only: custom_vmap ops carry no AD rules, and the f64
+        refine-residuals path differentiates ``c_eq`` (``jax.vjp`` in
+        ``ipm.py``) — f64 callers keep the generic differentiable path."""
+        if (
+            self.G_fn is not None
+            or self.method != "taylor"
+            or zmat.dtype != jnp.float32
+        ):
+            return None
+        from ..ops.expv_kernel import make_residual_action
+
+        dtype = zmat.dtype
+        cs_x = layout.comp_slice(self.x_name)
+        cs_u = layout.comp_slice(self.u_name)
+        x = zmat[:-1, cs_x]
+        xn = zmat[1:, cs_x]
+        u = zmat[:-1, cs_u]
+        if layout.has_free_time:
+            dt = zmat[:-1, layout.offsets[layout.timestep]]
+        else:
+            dt = jnp.full((zmat.shape[0] - 1,), layout.timestep, dtype=dtype)
+        return make_residual_action(self.taylor_order)(
+            self.G_drift.astype(dtype), self.G_drives.astype(dtype),
+            u, dt, x, xn,
+        )
+
     def jacobians_zk_stacked(self, layout: Layout, zmat: jax.Array):
         """Closed-form stacked ``∂residual/∂z_k`` — the batch-on-lanes fast
         path for the IPM's dominant prepare cost (see ``ops/expv_kernel.py``;

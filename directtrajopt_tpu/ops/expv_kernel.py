@@ -33,11 +33,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_window_jac", "window_jac_eligible"]
+__all__ = [
+    "make_window_jac",
+    "window_jac_eligible",
+    "make_residual_action",
+]
 
 _LANES = 128
 _VMEM_BUDGET = 10 * 1024 * 1024
@@ -198,50 +201,46 @@ def _pad_batch(x, pad):
     return x
 
 
-def _chunked(fn, args, chunk):
-    Bp = args[0].shape[0]
-    n_chunks = Bp // chunk
-    if n_chunks == 1:
-        return fn(*args)
-    reshaped = [x.reshape((n_chunks, chunk) + x.shape[1:]) for x in args]
-    out = jax.lax.map(lambda xs: fn(*xs), reshaped)
-    return out.reshape((Bp,) + out.shape[2:])
-
-
-def _window_jac_pallas_chunk(order, xd, n_dr, free_time, interpret, *args):
-    Gd, Gv, u, dt, x = args
-    Bc = x.shape[0]
-    K = x.shape[1]
-    n_th = xd + n_dr + (1 if free_time else 0)
-    dtype = x.dtype
-    ins = [
-        jnp.transpose(Gd, (1, 2, 0)),  # (xd, xd, Bc)
-        jnp.transpose(Gv, (1, 2, 3, 0)),  # (n_dr, xd, xd, Bc)
-        jnp.transpose(u, (1, 2, 0)),  # (K, n_dr, Bc)
-        jnp.transpose(dt, (1, 0)),  # (K, Bc)
-        jnp.transpose(x, (1, 2, 0)),  # (K, xd, Bc)
-    ]
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_t = pl.pallas_call(
-        functools.partial(_kernel, order, xd, n_dr, free_time),
-        in_specs=[vm] * 5,
-        out_specs=vm,
-        out_shape=jax.ShapeDtypeStruct((K, xd, n_th, Bc), dtype),
-        interpret=interpret,
-    )(*ins)
-    return jnp.transpose(out_t, (3, 0, 1, 2))  # (Bc, K, xd, n_th)
+def _lane_spec(shape, chunk):
+    """BlockSpec slicing only the minor (lane) axis into ``chunk`` blocks."""
+    nd = len(shape)
+    block = shape[:-1] + (chunk,)
+    return pl.BlockSpec(
+        block,
+        lambda c, _nd=nd: (0,) * (_nd - 1) + (c,),
+        memory_space=pltpu.VMEM,
+    )
 
 
 def _window_jac_pallas(order, free_time, Gd, Gv, u, dt, x, *, interpret=False):
+    """Batched window-Jacobian stack — one pallas_call with the lane axis
+    gridded into 128-wide blocks (a lax.map over chunks would stack results
+    through dynamic_update_slice ops, measured ~0.1 ms/iter of pure staging
+    at B=512)."""
     Bn, K, xd = x.shape
     n_dr = Gv.shape[1]
+    n_th = xd + n_dr + (1 if free_time else 0)
+    dtype = x.dtype
     chunk = _LANES if not interpret else min(_LANES, max(8, Bn))
     pad = (-Bn) % chunk
-    args = tuple(_pad_batch(a, pad) for a in (Gd, Gv, u, dt, x))
-    fn = functools.partial(
-        _window_jac_pallas_chunk, order, xd, n_dr, free_time, interpret
-    )
-    return _chunked(fn, args, chunk)[:Bn]
+    Gd, Gv, u, dt, x = (_pad_batch(a, pad) for a in (Gd, Gv, u, dt, x))
+    Bp = Bn + pad
+    ins = [
+        jnp.transpose(Gd, (1, 2, 0)),  # (xd, xd, Bp)
+        jnp.transpose(Gv, (1, 2, 3, 0)),  # (n_dr, xd, xd, Bp)
+        jnp.transpose(u, (1, 2, 0)),  # (K, n_dr, Bp)
+        jnp.transpose(dt, (1, 0)),  # (K, Bp)
+        jnp.transpose(x, (1, 2, 0)),  # (K, xd, Bp)
+    ]
+    out_t = pl.pallas_call(
+        functools.partial(_kernel, order, xd, n_dr, free_time),
+        grid=(Bp // chunk,),
+        in_specs=[_lane_spec(a.shape, chunk) for a in ins],
+        out_specs=_lane_spec((K, xd, n_th, Bp), chunk),
+        out_shape=jax.ShapeDtypeStruct((K, xd, n_th, Bp), dtype),
+        interpret=interpret,
+    )(*ins)
+    return jnp.transpose(out_t, (3, 0, 1, 2))[:Bn]  # (Bn, K, xd, n_th)
 
 
 # --------------------------------------------------------------------------- #
@@ -251,6 +250,137 @@ def _window_jac_pallas(order, free_time, Gd, Gv, u, dt, x, *, interpret=False):
 
 def _bcast(x, batched, axis_size):
     return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+
+# --------------------------------------------------------------------------- #
+# residual action: xn − E(u,Δt)x — the line-search trial-grid hot path
+# --------------------------------------------------------------------------- #
+
+
+def _res_xla(order, Gd, Gv, u, dt, x, xn):
+    """(K, xd) bilinear dynamics residuals, one instance (trial or lane)."""
+    G = Gd[None] + jnp.einsum("km,mij->kij", u, Gv)
+    A = dt[:, None, None] * G
+    y = x
+    for k in range(order, 0, -1):
+        y = x + jnp.einsum("kij,kj->ki", A, y) / k
+    return xn - y
+
+
+def _res_kernel(order, xd, n_dr, gd_ref, gv_ref, u_ref, dt_ref, x_ref, xn_ref,
+                out_ref):
+    """Primal Horner chain on 2-D (K, B) slices — lanes = flattened
+    (problem × trial) instances."""
+    dtype = x_ref.dtype
+    K = x_ref.shape[0]
+    B = x_ref.shape[-1]
+    dt = dt_ref[:]
+    us = [u_ref[:, m, :] for m in range(n_dr)]
+    xs = [x_ref[:, j, :] for j in range(xd)]
+
+    def bc(row):
+        return jnp.broadcast_to(row[None, :], (K, B))
+
+    A = [
+        [
+            dt
+            * sum(
+                (us[m] * bc(gv_ref[m, i, j, :]) for m in range(n_dr)),
+                start=bc(gd_ref[i, j, :]),
+            )
+            for j in range(xd)
+        ]
+        for i in range(xd)
+    ]
+    y = xs
+    for k in range(order, 0, -1):
+        inv_k = 1.0 / k
+        y = [
+            xs[i]
+            + sum((A[i][j] * y[j] for j in range(1, xd)), start=A[i][0] * y[0])
+            * inv_k
+            for i in range(xd)
+        ]
+    for i in range(xd):
+        out_ref[:, i, :] = xn_ref[:, i, :] - y[i]
+
+
+def _res_pallas(order, Gd, Gv, u, dt, x, xn, *, interpret=False):
+    """Batched residual action — lane axis gridded into 128-wide blocks
+    (see :func:`_window_jac_pallas` on why not lax.map chunking)."""
+    Bn, K, xd = x.shape
+    n_dr = Gv.shape[1]
+    dtype = x.dtype
+    chunk = _LANES if not interpret else min(_LANES, max(8, Bn))
+    pad = (-Bn) % chunk
+    Gd, Gv, u, dt, x, xn = (
+        _pad_batch(a, pad) for a in (Gd, Gv, u, dt, x, xn)
+    )
+    Bp = Bn + pad
+    ins = [
+        jnp.transpose(Gd, (1, 2, 0)),
+        jnp.transpose(Gv, (1, 2, 3, 0)),
+        jnp.transpose(u, (1, 2, 0)),
+        jnp.transpose(dt, (1, 0)),
+        jnp.transpose(x, (1, 2, 0)),
+        jnp.transpose(xn, (1, 2, 0)),
+    ]
+    out_t = pl.pallas_call(
+        functools.partial(_res_kernel, order, xd, n_dr),
+        grid=(Bp // chunk,),
+        in_specs=[_lane_spec(a.shape, chunk) for a in ins],
+        out_specs=_lane_spec((K, xd, Bp), chunk),
+        out_shape=jax.ShapeDtypeStruct((K, xd, Bp), dtype),
+        interpret=interpret,
+    )(*ins)
+    return jnp.transpose(out_t, (2, 0, 1))[:Bn]
+
+
+@functools.lru_cache(maxsize=None)
+def make_residual_action(order: int, use_pallas: str = "auto"):
+    """Two-level custom_vmap residual op: the line-search trial grid vmaps
+    residual evaluation INSIDE the per-problem solve, and solve_batch vmaps
+    over problems OUTSIDE — the first vmap re-wraps into a batched op whose
+    own vmap rule flattens (problems × trials) into one lane axis for the
+    Pallas chain. Unbatched signature: ``fn(Gd, Gv, u, dt, x, xn) -> (K, xd)``.
+    """
+    from jax.custom_batching import custom_vmap
+
+    def _batch_impl(Gd, Gv, u, dt, x, xn):
+        _, K, xd = x.shape
+        n_dr = Gv.shape[1]
+        on_tpu = jax.default_backend() == "tpu"
+        if use_pallas == "interpret":
+            return _res_pallas(order, Gd, Gv, u, dt, x, xn, interpret=True)
+        if (
+            use_pallas == "auto"
+            and on_tpu
+            and window_jac_eligible(K, xd, n_dr, x.dtype)
+        ):
+            return _res_pallas(order, Gd, Gv, u, dt, x, xn)
+        return jax.vmap(functools.partial(_res_xla, order))(Gd, Gv, u, dt, x, xn)
+
+    @custom_vmap
+    def res_batched(Gd, Gv, u, dt, x, xn):
+        return _batch_impl(Gd, Gv, u, dt, x, xn)
+
+    @res_batched.def_vmap
+    def _rule_b(axis_size, in_batched, *args):
+        args = [_bcast(a, bt, axis_size) for a, bt in zip(args, in_batched)]
+        flat = [a.reshape((-1,) + a.shape[2:]) for a in args]
+        out = _batch_impl(*flat)
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    @custom_vmap
+    def residual_action(Gd, Gv, u, dt, x, xn):
+        return _res_xla(order, Gd, Gv, u, dt, x, xn)
+
+    @residual_action.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [_bcast(a, bt, axis_size) for a, bt in zip(args, in_batched)]
+        return res_batched(*args), True
+
+    return residual_action
 
 
 @functools.lru_cache(maxsize=None)

@@ -23,11 +23,35 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the dominant suite cost is XLA-compiling the
-# IPM while_loop graph per (structure, dtype) — identical across runs and
-# across xdist workers. With the cache warm the suite is minutes faster; run
-# `python -m pytest tests/ -n 4` to split cold compiles over cores.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Retry-once for worker-crash test failures. The XLA:CPU compiler
+# intermittently SEGFAULTs this jaxlib during large while_loop compiles
+# (three captured stacks: backend_compile_and_load, and two in the
+# persistent-cache write path — tests/README-cache-crash.md). The crash is
+# environment-level and non-deterministic (a different test each run);
+# xdist replaces the dead worker, and this hook reschedules the crashed
+# test once instead of reporting a spurious failure.
+_crash_retried = set()
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    if crashitem in _crash_retried:
+        return
+    try:
+        sched.mark_test_pending(crashitem)
+    except (AttributeError, NotImplementedError):
+        return  # scheduler can't reschedule (loadgroup/loadscope) — keep F
+    _crash_retried.add(crashitem)
+    report.outcome = "rerun"
+
+
+# NO persistent compilation cache in tests. The XLA:CPU executable
+# serialize/write path (`jax compilation_cache.put_executable_and_time`)
+# intermittently SEGFAULTs or aborts the worker process on this jaxlib —
+# this, not memory pressure, was the round-2/round-3 "xdist worker crashed"
+# flake; forensics in tests/README-cache-crash.md. A second failure mode
+# (executing artifacts AOT-compiled on a different host after a VM
+# migration — "could lead to SIGILL" per cpu_aot_loader) is fixed for the
+# single-process bench/tools by the host-fingerprinted cache dir
+# (directtrajopt_tpu/utils/hostcache.py); tests simply compile fresh:
+# determinism is worth the extra minutes here.
+jax.config.update("jax_compilation_cache_dir", None)

@@ -145,6 +145,90 @@ def test_custom_vmap_unbatched_and_batched():
     )
 
 
+def test_residual_action_levels():
+    """The two-level custom_vmap residual op: unbatched, trial-vmapped,
+    problem-vmapped, and nested (problem × trial) all agree with the naive
+    per-window evaluation."""
+    from directtrajopt_tpu.ops.expv_kernel import (
+        _res_xla,
+        make_residual_action,
+    )
+
+    rng = np.random.default_rng(7)
+    B, T, K, xd, n_dr, order = 3, 4, 6, 4, 2, 6
+    fn = make_residual_action(order)
+    Gd = jnp.asarray(rng.normal(size=(B, xd, xd)))
+    Gv = jnp.asarray(rng.normal(size=(B, n_dr, xd, xd)))
+    u = jnp.asarray(0.3 * rng.normal(size=(B, T, K, n_dr)))
+    dt = jnp.asarray(0.1 + 0.02 * rng.random((B, T, K)))
+    x = jnp.asarray(rng.normal(size=(B, T, K, xd)))
+    xn = jnp.asarray(rng.normal(size=(B, T, K, xd)))
+
+    ref = np.stack([
+        np.stack([
+            np.asarray(_res_xla(order, Gd[b], Gv[b], u[b, t], dt[b, t],
+                                x[b, t], xn[b, t]))
+            for t in range(T)
+        ])
+        for b in range(B)
+    ])
+    # unbatched
+    out0 = fn(Gd[0], Gv[0], u[0, 0], dt[0, 0], x[0, 0], xn[0, 0])
+    np.testing.assert_allclose(np.asarray(out0), ref[0, 0], atol=1e-12)
+    # one level (trials of one problem — G unbatched)
+    out1 = jax.vmap(lambda uu, tt, xx, nn: fn(Gd[0], Gv[0], uu, tt, xx, nn))(
+        u[0], dt[0], x[0], xn[0]
+    )
+    np.testing.assert_allclose(np.asarray(out1), ref[0], atol=1e-12)
+    # nested (problems × trials) under jit — the production shape
+    out2 = jax.jit(
+        jax.vmap(
+            lambda gd, gv, uu, tt, xx, nn: jax.vmap(
+                lambda u_, t_, x_, n_: fn(gd, gv, u_, t_, x_, n_)
+            )(uu, tt, xx, nn)
+        )
+    )(Gd, Gv, u, dt, x, xn)
+    np.testing.assert_allclose(np.asarray(out2), ref, atol=1e-12)
+
+
+def test_residual_pallas_interpret_matches_xla():
+    from directtrajopt_tpu.ops.expv_kernel import _res_pallas, _res_xla
+
+    rng = np.random.default_rng(8)
+    B, K, xd, n_dr, order = 7, 5, 4, 2, 6
+    args = tuple(
+        jnp.asarray(a.astype(np.float32))
+        for a in (
+            rng.normal(size=(B, xd, xd)),
+            rng.normal(size=(B, n_dr, xd, xd)),
+            0.3 * rng.normal(size=(B, K, n_dr)),
+            0.1 + 0.05 * rng.random((B, K)),
+            rng.normal(size=(B, K, xd)),
+            rng.normal(size=(B, K, xd)),
+        )
+    )
+    out_k = _res_pallas(order, *args, interpret=True)
+    out_x = jax.vmap(lambda *a: _res_xla(order, *a))(*args)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-6)
+
+
+def test_residuals_stacked_matches_generic():
+    """stack_residuals with the capability == the per-window residual()."""
+    from directtrajopt_tpu.integrators.base import stack_residuals
+
+    traj = _mk_traj(free_time=True)
+    integ = _mk_integ(order=6)
+    layout = traj.layout
+    zmat = traj.to_zvec().reshape(layout.N, layout.dim)
+    fast = stack_residuals(integ, layout, zmat)
+    os.environ["DTX_RES_KERNEL"] = "0"
+    try:
+        ref = stack_residuals(integ, layout, zmat)
+    finally:
+        os.environ.pop("DTX_RES_KERNEL")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-13)
+
+
 def test_e2e_solve_matches_generic_path():
     """Full IPM solve with the closed-form prepare == generic-AD prepare."""
     from directtrajopt_tpu.benchmarks import make_bilinear_problem
@@ -154,10 +238,12 @@ def test_e2e_solve_matches_generic_path():
     # env toggles act at TRACE time — drop compiled programs in between
     jax.clear_caches()
     os.environ["DTX_ZK_KERNEL"] = "0"
+    os.environ["DTX_RES_KERNEL"] = "0"
     try:
         res_ref = dtx.solve(prob, max_iter=60)
     finally:
         os.environ.pop("DTX_ZK_KERNEL")
+        os.environ.pop("DTX_RES_KERNEL")
         jax.clear_caches()
     assert bool(res_fast.converged) and bool(res_ref.converged)
     np.testing.assert_allclose(

@@ -93,9 +93,11 @@ def main():
 
     if os.environ.get("DTX_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
+    from directtrajopt_tpu.utils.hostcache import host_cache_dir
+
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+        host_cache_dir(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -23,9 +23,11 @@ def main():
     if os.environ.get("DTX_FORCE_CPU") or True:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    from directtrajopt_tpu.utils.hostcache import host_cache_dir
+
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+        host_cache_dir(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
