@@ -44,9 +44,8 @@ __all__ = ["make_factor_solve", "make_resolve", "pallas_eligible"]
 
 _TINY = 1e-30
 # conservative VMEM budget for one kernel program (bytes). The batch is
-# processed in 128-lane chunks via lax.map with a single-program grid per
-# pallas_call — no cross-step double buffering, so the whole budget is one
-# buffer set.
+# processed as a grid of 128-lane blocks inside one pallas_call; the budget
+# is one block's buffer set.
 _VMEM_BUDGET = int(13 * 1024 * 1024)
 _LANES = 128
 
@@ -586,66 +585,22 @@ def _from_lanes(x, Bn):
     return jnp.transpose(x, (x.ndim - 1,) + tuple(range(x.ndim - 1)))[:Bn]
 
 
-def _chunked(fn, args, chunk):
-    """lax.map ``fn`` over ``chunk``-sized batch chunks (batch pre-padded)."""
-    Bp = args[0].shape[0]
-    n_chunks = Bp // chunk
-    if n_chunks == 1:
-        return fn(*args)
-    reshaped = [x.reshape((n_chunks, chunk) + x.shape[1:]) for x in args]
-    outs = jax.lax.map(lambda xs: fn(*xs), reshaped)
-    return tuple(x.reshape((Bp,) + x.shape[2:]) for x in outs)
-
-
-def _factor_solve_pallas_chunk(s0m, ns, nv, N, R, interpret, *args):
-    """One ≤128-lane chunk. Inputs (Bc, N, ·, ·) / (Bc, R, N, ·)."""
-    Qss, Qsv, Qvv, A, B, qs, qv, b = args
-    Bc = Qss.shape[0]
-    dtype = Qss.dtype
-
-    ins = [
-        _to_lanes(Qss), _to_lanes(Qsv), _to_lanes(Qvv), _to_lanes(A), _to_lanes(B),
-        jnp.transpose(qs, (2, 1, 3, 0)),  # (N, R, ns, Bc)
-        jnp.transpose(qv, (2, 1, 3, 0)),
-        jnp.transpose(b, (2, 1, 3, 0)),
-    ]
-
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(_fused_kernel, ns, nv, N, R, tuple(int(v) for v in s0m))
-    Nm1 = max(N - 1, 1)
-    outs = pl.pallas_call(
-        kernel,
-        in_specs=[vm] * 8,
-        out_specs=[vm] * 9,
-        out_shape=[
-            jax.ShapeDtypeStruct((N, ns, ns, Bc), dtype),
-            jax.ShapeDtypeStruct((N, nv, nv, Bc), dtype),
-            jax.ShapeDtypeStruct((N, nv, ns, Bc), dtype),
-            jax.ShapeDtypeStruct((N, nv, ns, Bc), dtype),
-            jax.ShapeDtypeStruct((ns, ns, Bc), dtype),
-            jax.ShapeDtypeStruct((1, Bc), dtype),
-            jax.ShapeDtypeStruct((N, R, ns, Bc), dtype),
-            jax.ShapeDtypeStruct((N, R, nv, Bc), dtype),
-            jax.ShapeDtypeStruct((Nm1, R, ns, Bc), dtype),
-        ],
-        interpret=interpret,
-    )(*ins)
-    P_t, L_t, Kg_t, Mvs_t, L0_t, ok_t, dzs_t, dzv_t, lam_t = outs
-    return (
-        _from_lanes(P_t, Bc),
-        _from_lanes(L_t, Bc),
-        _from_lanes(Kg_t, Bc),
-        _from_lanes(Mvs_t, Bc),
-        _from_lanes(L0_t, Bc),
-        ok_t[0] > 0.5,
-        jnp.transpose(dzs_t, (3, 1, 0, 2)),  # (Bc, R, N, ns)
-        jnp.transpose(dzv_t, (3, 1, 0, 2)),
-        jnp.transpose(lam_t, (3, 1, 0, 2)),
+def _lane_spec(shape, chunk):
+    """BlockSpec slicing only the minor (lane) axis into ``chunk`` blocks."""
+    nd = len(shape)
+    return pl.BlockSpec(
+        shape[:-1] + (chunk,),
+        lambda c, _nd=nd: (0,) * (_nd - 1) + (c,),
+        memory_space=pltpu.VMEM,
     )
 
 
 def _factor_solve_pallas(s0m, Qss, Qsv, Qvv, A, B, qs, qv, b, *, interpret=False):
-    """Batched fused factor+solve. Inputs (Bn, N, ·, ·) / (Bn, R, N, ·)."""
+    """Batched fused factor+solve. Inputs (Bn, N, ·, ·) / (Bn, R, N, ·).
+
+    The lane axis is gridded into 128-wide blocks inside ONE pallas_call —
+    the earlier lax.map-over-chunks form paid ~0.3 ms/iteration of
+    dynamic_update_slice result-stacking at B=512 (profiled)."""
     Bn, N, ns, _ = Qss.shape
     nv = Qvv.shape[-1]
     R = qs.shape[1]
@@ -661,53 +616,53 @@ def _factor_solve_pallas(s0m, Qss, Qsv, Qvv, A, B, qs, qv, b, *, interpret=False
     Qss, Qsv, A, B, qs, qv, b = (
         _pad_batch(x, pad) for x in (Qss, Qsv, A, B, qs, qv, b)
     )
-    fn = functools.partial(_factor_solve_pallas_chunk, s0m, ns, nv, N, R, interpret)
-    outs = _chunked(fn, (Qss, Qsv, Qvv, A, B, qs, qv, b), chunk)
-    P, Lv, Kg, Mvs, L0, ok, dzs, dzv, lam = (x[:Bn] for x in outs)
+    Bp = Bn + pad
+
+    ins = [
+        _to_lanes(Qss), _to_lanes(Qsv), _to_lanes(Qvv), _to_lanes(A), _to_lanes(B),
+        jnp.transpose(qs, (2, 1, 3, 0)),  # (N, R, ns, Bp)
+        jnp.transpose(qv, (2, 1, 3, 0)),
+        jnp.transpose(b, (2, 1, 3, 0)),
+    ]
+    kernel = functools.partial(_fused_kernel, ns, nv, N, R, tuple(int(v) for v in s0m))
+    Nm1 = max(N - 1, 1)
+    out_shapes = [
+        (N, ns, ns, Bp),
+        (N, nv, nv, Bp),
+        (N, nv, ns, Bp),
+        (N, nv, ns, Bp),
+        (ns, ns, Bp),
+        (1, Bp),
+        (N, R, ns, Bp),
+        (N, R, nv, Bp),
+        (Nm1, R, ns, Bp),
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bp // chunk,),
+        in_specs=[_lane_spec(x.shape, chunk) for x in ins],
+        out_specs=[_lane_spec(s, chunk) for s in out_shapes],
+        out_shape=[jax.ShapeDtypeStruct(s, dtype) for s in out_shapes],
+        interpret=interpret,
+    )(*ins)
+    P_t, L_t, Kg_t, Mvs_t, L0_t, ok_t, dzs_t, dzv_t, lam_t = outs
+    P = _from_lanes(P_t, Bn)
+    Lv = _from_lanes(L_t, Bn)
+    Kg = _from_lanes(Kg_t, Bn)
+    Mvs = _from_lanes(Mvs_t, Bn)
+    L0 = _from_lanes(L0_t, Bn)
+    ok = ok_t[0, :Bn] > 0.5
+    dzs = jnp.transpose(dzs_t, (3, 1, 0, 2))[:Bn]  # (Bn, R, N, ns)
+    dzv = jnp.transpose(dzv_t, (3, 1, 0, 2))[:Bn]
+    lam = jnp.transpose(lam_t, (3, 1, 0, 2))[:Bn]
     if N == 1:
         lam = lam[:, :, :0]
     return P, Lv, Kg, Mvs, L0, ok, dzs, dzv, lam
 
 
-def _resolve_pallas_chunk(s0m, ns, nv, N, R, interpret, *args):
-    P, Lv, Kg, Mvs, L0, A, B, qs, qv, b = args
-    Bc = P.shape[0]
-    dtype = P.dtype
-    ins = [
-        _to_lanes(P), _to_lanes(Lv), _to_lanes(Kg), _to_lanes(Mvs),
-        jnp.transpose(L0, (1, 2, 0)),
-        _to_lanes(A), _to_lanes(B),
-        jnp.transpose(qs, (2, 1, 3, 0)),
-        jnp.transpose(qv, (2, 1, 3, 0)),
-        jnp.transpose(b, (2, 1, 3, 0)),
-    ]
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(_resolve_kernel, ns, nv, N, R, tuple(int(v) for v in s0m))
-    Nm1 = max(N - 1, 1)
-    outs = pl.pallas_call(
-        kernel,
-        in_specs=[vm] * 10,
-        out_specs=[vm] * 3,
-        out_shape=[
-            jax.ShapeDtypeStruct((N, R, ns, Bc), dtype),
-            jax.ShapeDtypeStruct((N, R, nv, Bc), dtype),
-            jax.ShapeDtypeStruct((Nm1, R, ns, Bc), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((N, R, ns, Bc), dtype),
-            pltpu.VMEM((N, R, nv, Bc), dtype),
-        ],
-        interpret=interpret,
-    )(*ins)
-    dzs_t, dzv_t, lam_t = outs
-    return (
-        jnp.transpose(dzs_t, (3, 1, 0, 2)),
-        jnp.transpose(dzv_t, (3, 1, 0, 2)),
-        jnp.transpose(lam_t, (3, 1, 0, 2)),
-    )
-
-
 def _resolve_pallas(s0m, P, Lv, Kg, Mvs, L0, A, B, qs, qv, b, *, interpret=False):
+    """Resolve against stored factors, lane axis gridded (see
+    :func:`_factor_solve_pallas`)."""
     Bn, N, ns, _ = P.shape
     nv = Lv.shape[-1]
     R = qs.shape[1]
@@ -722,9 +677,34 @@ def _resolve_pallas(s0m, P, Lv, Kg, Mvs, L0, A, B, qs, qv, b, *, interpret=False
     P, Kg, Mvs, A, B, qs, qv, b = (
         _pad_batch(x, pad) for x in (P, Kg, Mvs, A, B, qs, qv, b)
     )
-    fn = functools.partial(_resolve_pallas_chunk, s0m, ns, nv, N, R, interpret)
-    outs = _chunked(fn, (P, Lv, Kg, Mvs, L0, A, B, qs, qv, b), chunk)
-    dzs, dzv, lam = (x[:Bn] for x in outs)
+    Bp = Bn + pad
+    ins = [
+        _to_lanes(P), _to_lanes(Lv), _to_lanes(Kg), _to_lanes(Mvs),
+        jnp.transpose(L0, (1, 2, 0)),
+        _to_lanes(A), _to_lanes(B),
+        jnp.transpose(qs, (2, 1, 3, 0)),
+        jnp.transpose(qv, (2, 1, 3, 0)),
+        jnp.transpose(b, (2, 1, 3, 0)),
+    ]
+    kernel = functools.partial(_resolve_kernel, ns, nv, N, R, tuple(int(v) for v in s0m))
+    Nm1 = max(N - 1, 1)
+    out_shapes = [(N, R, ns, Bp), (N, R, nv, Bp), (Nm1, R, ns, Bp)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bp // chunk,),
+        in_specs=[_lane_spec(x.shape, chunk) for x in ins],
+        out_specs=[_lane_spec(s, chunk) for s in out_shapes],
+        out_shape=[jax.ShapeDtypeStruct(s, dtype) for s in out_shapes],
+        scratch_shapes=[
+            pltpu.VMEM((N, R, ns, chunk), dtype),
+            pltpu.VMEM((N, R, nv, chunk), dtype),
+        ],
+        interpret=interpret,
+    )(*ins)
+    dzs_t, dzv_t, lam_t = outs
+    dzs = jnp.transpose(dzs_t, (3, 1, 0, 2))[:Bn]
+    dzv = jnp.transpose(dzv_t, (3, 1, 0, 2))[:Bn]
+    lam = jnp.transpose(lam_t, (3, 1, 0, 2))[:Bn]
     if N == 1:
         lam = lam[:, :, :0]
     return dzs, dzv, lam
