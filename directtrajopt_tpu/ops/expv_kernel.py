@@ -44,6 +44,18 @@ __all__ = [
 
 _LANES = 128
 _VMEM_BUDGET = 10 * 1024 * 1024
+# Mosaic double-buffers in/out blocks when the lane grid has >1 step; raise
+# the per-kernel scoped-vmem cap past XLA's 16 MiB default (see
+# riccati_kernel._VMEM_LIMIT for the full rationale).
+_VMEM_LIMIT = int(100 * 1024 * 1024)
+
+
+def _tpu_params(interpret):
+    if interpret:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    }
 
 
 # --------------------------------------------------------------------------- #
@@ -238,6 +250,7 @@ def _window_jac_pallas(order, free_time, Gd, Gv, u, dt, x, *, interpret=False):
         in_specs=[_lane_spec(a.shape, chunk) for a in ins],
         out_specs=_lane_spec((K, xd, n_th, Bp), chunk),
         out_shape=jax.ShapeDtypeStruct((K, xd, n_th, Bp), dtype),
+        **_tpu_params(interpret),
         interpret=interpret,
     )(*ins)
     return jnp.transpose(out_t, (3, 0, 1, 2))[:Bn]  # (Bn, K, xd, n_th)
@@ -331,6 +344,7 @@ def _res_pallas(order, Gd, Gv, u, dt, x, xn, *, interpret=False):
         in_specs=[_lane_spec(a.shape, chunk) for a in ins],
         out_specs=_lane_spec((K, xd, Bp), chunk),
         out_shape=jax.ShapeDtypeStruct((K, xd, Bp), dtype),
+        **_tpu_params(interpret),
         interpret=interpret,
     )(*ins)
     return jnp.transpose(out_t, (2, 0, 1))[:Bn]

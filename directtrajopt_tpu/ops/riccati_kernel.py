@@ -48,6 +48,20 @@ _TINY = 1e-30
 # is one block's buffer set.
 _VMEM_BUDGET = int(13 * 1024 * 1024)
 _LANES = 128
+# Mosaic double-buffers every in/out block when the lane grid has >1 step
+# (pipelining), so the scoped-vmem requirement is ~2x one block's buffer set
+# — past XLA's 16 MiB default scoped limit for the larger stage shapes.
+# Raise the per-kernel cap (v5e/v5p have 128 MiB VMEM); eligibility still
+# gates one block's set at _VMEM_BUDGET, so 2x + temporaries fits easily.
+_VMEM_LIMIT = int(100 * 1024 * 1024)
+
+
+def _tpu_params(interpret):
+    if interpret:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    }
 
 
 # --------------------------------------------------------------------------- #
@@ -643,6 +657,7 @@ def _factor_solve_pallas(s0m, Qss, Qsv, Qvv, A, B, qs, qv, b, *, interpret=False
         in_specs=[_lane_spec(x.shape, chunk) for x in ins],
         out_specs=[_lane_spec(s, chunk) for s in out_shapes],
         out_shape=[jax.ShapeDtypeStruct(s, dtype) for s in out_shapes],
+        **_tpu_params(interpret),
         interpret=interpret,
     )(*ins)
     P_t, L_t, Kg_t, Mvs_t, L0_t, ok_t, dzs_t, dzv_t, lam_t = outs
@@ -699,6 +714,7 @@ def _resolve_pallas(s0m, P, Lv, Kg, Mvs, L0, A, B, qs, qv, b, *, interpret=False
             pltpu.VMEM((N, R, ns, chunk), dtype),
             pltpu.VMEM((N, R, nv, chunk), dtype),
         ],
+        **_tpu_params(interpret),
         interpret=interpret,
     )(*ins)
     dzs_t, dzv_t, lam_t = outs
