@@ -30,6 +30,33 @@ __all__ = [
 ]
 
 
+def _np_bilinear_rollout(G_drift, G_drives, x0, u, dt, order: int = 16):
+    """Host-side (numpy) rollout ``x_{k+1} = exp(Δt G(u_k)) x_k``.
+
+    Benchmark fixtures must be constructible without touching the device:
+    a jitted rollout whose closure captures device-array dynamics constants
+    forces a device→host fetch per constant at lowering time — measured at
+    ~60 s each through a tunneled TPU runtime (the bulk of the old batched
+    build). The expv action uses the same Taylor–Horner chain as
+    ``ops.expm.expv_taylor``; at ‖Δt·G‖ ≲ 0.6 order 16 is exact to f64.
+
+    Shapes: x0 (..., d), u (..., N, m), dt scalar. Returns (..., N, d).
+    """
+    Gd = np.asarray(G_drift, dtype=np.float64)
+    Gv = np.stack([np.asarray(g, dtype=np.float64) for g in G_drives])
+    u = np.asarray(u, dtype=np.float64)
+    N = u.shape[-2]
+    xs = [np.broadcast_to(np.asarray(x0, dtype=np.float64), u.shape[:-2] + Gd.shape[:1]).copy()]
+    for k in range(N - 1):
+        A = dt * (Gd + np.einsum("...m,mij->...ij", u[..., k, :], Gv))
+        x = xs[-1]
+        y = x
+        for j in range(order, 0, -1):
+            y = x + np.einsum("...ij,...j->...i", A, y) / j
+        xs.append(y)
+    return np.stack(xs, axis=-2)
+
+
 def pauli_generators():
     """Real 4D Pauli representation generators (`problem_utils.jl:15-17`)."""
     Gx = np.array(
@@ -69,11 +96,8 @@ def make_bilinear_problem(
 
     u0 = u_bound * (2 * rng.random((N, 2)) - 1)
     if feasible_start:
-        integ_probe = BilinearIntegrator.create((G_drift, G_drives), "x", "u", None, method="taylor")
-        x0 = np.asarray(
-            bilinear_rollout(
-                integ_probe, jnp.asarray([1.0, 0.0, 0.0, 0.0]), jnp.asarray(u0), dt
-            )
+        x0 = _np_bilinear_rollout(
+            G_drift, G_drives, np.array([1.0, 0.0, 0.0, 0.0]), u0, dt
         )
     else:
         x0 = 2 * rng.random((N, 4)) - 1
@@ -178,26 +202,23 @@ def make_batched_bilinear_problems(
     u0 = u_bound * (2 * rng.random((batch, N, 2)) - 1)
     if feasible_start:
         integ = template.integrators[0]
-        x0 = np.asarray(
-            jax.jit(
-                jax.vmap(
-                    lambda u: bilinear_rollout(
-                        integ, jnp.asarray([1.0, 0.0, 0.0, 0.0]), u, dt
-                    )
-                )
-            )(jnp.asarray(u0))
+        x0 = _np_bilinear_rollout(
+            integ.G_drift, integ.G_drives, np.array([1.0, 0.0, 0.0, 0.0]), u0, dt
         )
     else:
         x0 = 2 * rng.random((batch, N, 4)) - 1
 
+    # host-side stacking: the whole batched problem is built without a
+    # single device op; leaves are device-put once at solve dispatch
     stacked = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), template
+        lambda x: np.broadcast_to(np.asarray(x), (batch,) + np.shape(x)),
+        template,
     )
     data = dict(stacked.trajectory.data)
-    data["x"] = jnp.asarray(x0)
-    data["u"] = jnp.asarray(u0)
-    data["du"] = jnp.asarray(rng.standard_normal((batch, N, 2)))
-    data["ddu"] = jnp.asarray(rng.standard_normal((batch, N, 2)))
+    data["x"] = x0
+    data["u"] = u0
+    data["du"] = rng.standard_normal((batch, N, 2))
+    data["ddu"] = rng.standard_normal((batch, N, 2))
     traj = stacked.trajectory.replace(data=data)
     return stacked.replace(trajectory=traj)
 

@@ -54,6 +54,16 @@ def _resolve_timestep_name(layout: Layout, name: str | None) -> str:
     return layout.timestep
 
 
+def _host_array(value):
+    """Constructor-time leaves stay on host (numpy) — device arrays/tracers
+    pass through. See trajectory._as_component_array (r4 compile-time fix)."""
+    import jax as _jax
+
+    if isinstance(value, _jax.Array):
+        return value
+    return np.asarray(value, dtype=np.float64)
+
+
 @module
 class EqualityConstraint(LinearConstraintBase):
     """Pin a variable to values at given knots
@@ -71,7 +81,7 @@ class EqualityConstraint(LinearConstraintBase):
     @staticmethod
     def create(name, times, values, *, label=None):
         times = tuple(int(t) for t in np.atleast_1d(times))
-        values = jnp.asarray(values, dtype=float)
+        values = _host_array(values)
         return EqualityConstraint(
             values=values,
             name=name,
@@ -106,7 +116,7 @@ class GlobalEqualityConstraint(LinearConstraintBase):
     @staticmethod
     def create(name, values, *, label=None):
         return GlobalEqualityConstraint(
-            values=jnp.asarray(values, dtype=float).reshape(-1),
+            values=_host_array(values).reshape(-1),
             name=name,
             label=label or f"equality constraint on global {name}",
         )
@@ -488,7 +498,7 @@ class GlobalLinearConstraint(LinearConstraintBase):
 
     @staticmethod
     def create(name, A, lb, ub=None, *, label=None):
-        A = jnp.asarray(A, dtype=float)
+        A = _host_array(A)
         lb = np.asarray(lb, dtype=float).reshape(-1)
         ub = lb.copy() if ub is None else np.asarray(ub, dtype=float).reshape(-1)
         if not (A.shape[0] == len(lb) == len(ub)):
@@ -504,8 +514,8 @@ class GlobalLinearConstraint(LinearConstraintBase):
                     raise ValueError(f"infeasible all-zero row {r} in {name} constraint")
         return GlobalLinearConstraint(
             A=A,
-            lb=jnp.asarray(lb),
-            ub=jnp.asarray(ub),
+            lb=_host_array(lb),
+            ub=_host_array(ub),
             name=name,
             label=label or f"global linear constraint on {name}",
             eq_mask=eq_mask,

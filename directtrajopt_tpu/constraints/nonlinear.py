@@ -108,7 +108,7 @@ class NonlinearKnotPointConstraint(NonlinearConstraintBase):
         g_dim = int(np.asarray(out0).reshape(-1).shape[0])
 
         params_arr = (
-            jnp.stack([jnp.asarray(p, dtype=float) for p in params])
+            np.stack([np.asarray(p, dtype=float) for p in params])
             if takes_params
             else None
         )
@@ -237,7 +237,7 @@ class NonlinearGlobalKnotPointConstraint(NonlinearConstraintBase):
         p0 = [params[0]] if takes_params else []
         g_dim = int(np.asarray(g(*([vals0] + p0))).reshape(-1).shape[0])
         params_arr = (
-            jnp.stack([jnp.asarray(p, dtype=float) for p in params])
+            np.stack([np.asarray(p, dtype=float) for p in params])
             if takes_params
             else None
         )

@@ -69,9 +69,14 @@ class BilinearIntegrator:
                 taylor_order=taylor_order,
             )
         G_drift, G_drives = G
-        drives = jnp.stack([jnp.asarray(Gi, dtype=float) for Gi in G_drives])
+        # host-side (numpy) leaves: no eager device ops at problem build,
+        # and no device-constant fetches when a rollout/solve closure
+        # captures the integrator (see trajectory._as_component_array)
+        import numpy as np
+
+        drives = np.stack([np.asarray(Gi, dtype=float) for Gi in G_drives])
         return BilinearIntegrator(
-            G_drift=jnp.asarray(G_drift, dtype=float),
+            G_drift=np.asarray(G_drift, dtype=float),
             G_drives=drives,
             x_name=x_name,
             u_name=u_name,

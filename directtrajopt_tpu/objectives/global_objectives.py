@@ -50,7 +50,7 @@ class GlobalObjective(ObjectiveBase):
         for n in names:
             if n not in traj.global_names:
                 raise ValueError(f"{n!r} is not a global component")
-        return GlobalObjective(Q=jnp.asarray(float(Q)), ell=ell, global_names=tuple(names))
+        return GlobalObjective(Q=np.float64(Q), ell=ell, global_names=tuple(names))
 
     def cost_global(self, layout: Layout, g):
         return self.Q * self.ell(_extract_globals(layout, g, self.global_names))
@@ -94,12 +94,13 @@ class GlobalKnotPointObjective(ObjectiveBase):
         params_full = None
         takes_params = params is not None
         if takes_params:
-            p_arr = jnp.stack([jnp.asarray(p, dtype=float) for p in params])
+            p_arr = np.stack([np.asarray(p, dtype=float) for p in params])
             full_shape = (N,) + p_arr.shape[1:]
-            params_full = jnp.zeros(full_shape).at[jnp.asarray(t_idx)].set(p_arr)
+            params_full = np.zeros(full_shape)
+            params_full[np.asarray(t_idx)] = p_arr
 
         return GlobalKnotPointObjective(
-            Qs=jnp.asarray(q_full * mask),
+            Qs=np.asarray(q_full * mask),
             params=params_full,
             ell=ell,
             var_names=tuple(names),

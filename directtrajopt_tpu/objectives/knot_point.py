@@ -61,14 +61,15 @@ class KnotPointObjective(ObjectiveBase):
         params_full = None
         takes_params = params is not None
         if takes_params:
-            p_arr = jnp.stack([jnp.asarray(p, dtype=float) for p in params])
+            p_arr = np.stack([np.asarray(p, dtype=float) for p in params])
             # scatter per-time params into a full (N, ...) array (off-time rows
             # are multiplied by zero weight, so their content is irrelevant)
             full_shape = (N,) + p_arr.shape[1:]
-            params_full = jnp.zeros(full_shape).at[jnp.asarray(t_idx)].set(p_arr)
+            params_full = np.zeros(full_shape)
+            params_full[np.asarray(t_idx)] = p_arr
 
         return KnotPointObjective(
-            Qs=jnp.asarray(q_full * mask),
+            Qs=np.asarray(q_full * mask),
             params=params_full,
             hvp_carrier=knot_hvp,
             ell=ell,

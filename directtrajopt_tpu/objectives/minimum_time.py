@@ -7,6 +7,7 @@ Matches `/root/reference/src/objectives/minimum_time_objective.jl:44-50`
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..module import module
 from ..trajectory import Layout, Trajectory
@@ -23,7 +24,7 @@ class MinimumTimeObjective(ObjectiveBase):
     def create(traj: Trajectory, D: float = 1.0) -> "MinimumTimeObjective":
         if not isinstance(traj.timestep, str):
             raise ValueError("MinimumTimeObjective requires a free timestep variable")
-        return MinimumTimeObjective(D=jnp.asarray(float(D)))
+        return MinimumTimeObjective(D=np.float64(D))
 
     def cost_at_knot(self, layout: Layout, z, g, k):
         dt = layout.knot_timestep(z, dtype=z.dtype)

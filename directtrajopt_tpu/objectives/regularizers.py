@@ -57,17 +57,17 @@ class QuadraticRegularizer(ObjectiveBase):
     ) -> "QuadraticRegularizer":
         dim = traj.dims[name]
         N = traj.N
-        R_vec = jnp.broadcast_to(jnp.asarray(R, dtype=float), (dim,))
+        R_vec = np.broadcast_to(np.asarray(R, dtype=float), (dim,))
         if baseline is None:
-            baseline = jnp.zeros((N, dim))
+            baseline = np.zeros((N, dim))
         else:
-            baseline = jnp.asarray(baseline, dtype=float)
+            baseline = np.asarray(baseline, dtype=float)
             if baseline.shape != (N, dim):
                 raise ValueError(
                     f"baseline shape {baseline.shape} != {(N, dim)}"
                 )
         return QuadraticRegularizer(
-            R=R_vec, baseline=baseline, mask=jnp.asarray(times_mask(N, times)), name=name
+            R=R_vec, baseline=baseline, mask=np.asarray(times_mask(N, times)), name=name
         )
 
     def cost_at_knot(self, layout: Layout, z, g, k):
@@ -101,9 +101,9 @@ class LinearRegularizer(ObjectiveBase):
         times: Sequence[int] | None = None,
     ) -> "LinearRegularizer":
         dim = traj.dims[name]
-        R_vec = jnp.broadcast_to(jnp.asarray(R, dtype=float), (dim,))
+        R_vec = np.broadcast_to(np.asarray(R, dtype=float), (dim,))
         return LinearRegularizer(
-            R=R_vec, mask=jnp.asarray(times_mask(traj.N, times)), name=name
+            R=R_vec, mask=np.asarray(times_mask(traj.N, times)), name=name
         )
 
     def cost_at_knot(self, layout: Layout, z, g, k):

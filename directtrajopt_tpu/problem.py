@@ -122,9 +122,9 @@ class DirectTrajOptProblem:
             )
             new_bounds = dict(traj.bounds)
             dim = traj.dims[ts]
-            import jax.numpy as jnp
+            import numpy as np
 
-            new_bounds[ts] = (jnp.zeros(dim), jnp.full((dim,), jnp.inf))
+            new_bounds[ts] = (np.zeros(dim), np.full((dim,), np.inf))
             traj = traj.replace(bounds=new_bounds)
 
         all_constraints = tuple(constraints) + tuple(get_trajectory_constraints(traj))

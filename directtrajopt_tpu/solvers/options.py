@@ -180,13 +180,24 @@ class IPMOptions:
     # curvature those constraints fix into the core so the stage-wise inertia
     # certificate matches the full KKT inertia; solution-invariant.
     border_penalty: float = 100.0
-    # -- iteration limits (static: control loop structure) ----------------- #
-    max_iter: int = static_field(default=1000)
+    # -- iteration limits --------------------------------------------------- #
+    # DYNAMIC leaf (r4): the bound only appears in the while_loop condition,
+    # so different budgets share one trace — solve_batch_compact's phases
+    # (16/16/64 iterations) collapse from 3 traced+lowered IPM programs to 1
+    # (the dominant share of time-to-first-solve), and re-solving with a new
+    # budget never recompiles.
+    max_iter: int = 1000
     # -- diagnostics: per-iteration jax.debug.print (static) --------------- #
     print_level: int = static_field(default=0)
 
     def astype(self, dtype):
-        """Cast all numeric leaves to the solve dtype."""
+        """Cast the floating-point leaves to the solve dtype (integer knobs —
+        max_iter — keep their integer semantics)."""
         import jax
 
-        return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), self)
+        def cast(x):
+            if jnp.issubdtype(jnp.result_type(x), jnp.floating):
+                return jnp.asarray(x, dtype=dtype)
+            return x
+
+        return jax.tree.map(cast, self)

@@ -403,17 +403,23 @@ def _compact_body(backend: str, phases: tuple, chunk: int):
     """Unjitted compact-schedule body — also the per-shard program of
     :func:`directtrajopt_tpu.parallel.solve_batch_compact_sharded`."""
 
+    # jit so the IPM body is TRACED ONCE and shared by every phase and by
+    # the eval_shape probe (max_iter/mu_init are dynamic leaves, so the
+    # per-phase option pytrees share one trace-cache entry) — without this
+    # each phase traces the full IPM twice (eval_shape + scan body), ~6
+    # traces of a ~45k-primitive program dominating time-to-first-solve
+    @jax.jit
+    def solve_chunk(sub, opts, w):
+        return jax.vmap(
+            lambda p, wi: _solve_impl(p, opts, backend, None, wi),
+            in_axes=(0, None if w is None else 0),
+        )(sub, w)
+
     def run(problems, options, warm):
         B = jax.tree.leaves(problems)[0].shape[0]
         ch = min(chunk, B)
         pad = (-B) % ch
         n_chunks = (B + pad) // ch
-
-        def solve_chunk(sub, opts, w):
-            return jax.vmap(
-                lambda p, wi: _solve_impl(p, opts, backend, None, wi),
-                in_axes=(0, None if w is None else 0),
-            )(sub, w)
 
         conv = jnp.zeros((B,), bool)
         iters = jnp.zeros((B,), jnp.int32)
@@ -435,13 +441,16 @@ def _compact_body(backend: str, phases: tuple, chunk: int):
                 )
             idx_all = order.reshape(n_chunks, ch)
 
-            # chunk-result structure for the cond dummy branch
+            # chunk-result structure for the cond dummy branch (identical
+            # across phases up to the warm treedef — reuse phase 1's when
+            # the warm structure carries over)
             sub0 = _tree_take_nb(cur, idx_all[0])
             w0 = _tree_take_nb(w_phase, idx_all[0]) if w_phase is not None else None
-            res_shape = jax.eval_shape(lambda s: solve_chunk(s, opts_p, w0), sub0)
-            zeros_res = jax.tree.map(
-                lambda sh: jnp.zeros(sh.shape, sh.dtype), res_shape
-            )
+            if pi == 0 or (pi == 1 and warm is not None):
+                res_shape = jax.eval_shape(solve_chunk, sub0, opts_p, w0)
+                zeros_res = jax.tree.map(
+                    lambda sh: jnp.zeros(sh.shape, sh.dtype), res_shape
+                )
             if out is None:
                 out = jax.tree.map(
                     lambda z: jnp.zeros((B,) + z.shape[1:], z.dtype), zeros_res

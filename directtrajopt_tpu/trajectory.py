@@ -134,8 +134,17 @@ class Layout:
         return jnp.asarray(self.timestep, dtype=dtype if dtype is not None else z.dtype)
 
 
-def _as_component_array(value, N: int | None = None) -> jnp.ndarray:
-    arr = jnp.asarray(value, dtype=float)
+def _as_component_array(value, N: int | None = None):
+    # HOST-side construction (r4): problem building stays in numpy — no
+    # eager device ops, no device-array constants captured into later jit
+    # traces (each such constant costs a device→host fetch at lowering,
+    # catastrophic through a tunneled TPU runtime). Leaves are device-put
+    # once, when the problem pytree is passed to a jitted solve. Tracers
+    # pass through so create() also works under jit.
+    if isinstance(value, jax.Array):  # device data/tracers: leave in place
+        arr = value
+    else:
+        arr = np.asarray(value, dtype=np.float64)
     if arr.ndim == 1 and N is not None:
         arr = arr[:, None]  # (N,) -> (N, 1)
     return arr
@@ -149,19 +158,18 @@ def _normalize_bound(bound, dim: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     BoundsConstraint forms (`src/constraints/linear/bounds_constraint.jl:22-91`).
     """
     if isinstance(bound, tuple) and len(bound) == 2:
-        lb = jnp.broadcast_to(jnp.asarray(bound[0], dtype=float), (dim,))
-        ub = jnp.broadcast_to(jnp.asarray(bound[1], dtype=float), (dim,))
+        lb = np.broadcast_to(np.asarray(bound[0], dtype=float), (dim,))
+        ub = np.broadcast_to(np.asarray(bound[1], dtype=float), (dim,))
         return lb, ub
     arr = np.asarray(bound, dtype=float)
     if arr.ndim == 0:
         s = abs(float(arr))
-        return jnp.full((dim,), -s), jnp.full((dim,), s)
+        return np.full((dim,), -s), np.full((dim,), s)
     if arr.ndim == 1:
-        v = jnp.abs(jnp.asarray(arr))
+        v = np.abs(arr)
         return -v, v
     if arr.ndim == 2 and arr.shape == (dim, 2):
-        a = jnp.asarray(arr)
-        return a[:, 0], a[:, 1]
+        return arr[:, 0], arr[:, 1]
     raise ValueError(f"cannot interpret bound spec with shape {arr.shape} for dim {dim}")
 
 
@@ -227,7 +235,7 @@ class Trajectory:
                 raise ValueError(f"control {c!r} not in data")
 
         gdata = {
-            k: jnp.asarray(v, dtype=float).reshape(-1)
+            k: _as_component_array(v).reshape(-1)
             for k, v in (global_data or {}).items()
         }
 
@@ -236,7 +244,7 @@ class Trajectory:
             for k, v in (m or {}).items():
                 if k not in names:
                     raise ValueError(f"metadata references unknown component {k!r}")
-                out[k] = jnp.asarray(v, dtype=float).reshape(-1)
+                out[k] = _as_component_array(v).reshape(-1)
             return out
 
         bnds = {}
