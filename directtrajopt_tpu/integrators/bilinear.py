@@ -168,9 +168,15 @@ class BilinearIntegrator:
         c_eq consumer) through the batch-on-lanes chain in
         ``ops/expv_kernel.py``. None when ineligible.
 
-        f32-only: custom_vmap ops carry no AD rules, and the f64
-        refine-residuals path differentiates ``c_eq`` (``jax.vjp`` in
-        ``ipm.py``) — f64 callers keep the generic differentiable path."""
+        f32-only by dtype gate: the kernel family is f32 (lane eligibility),
+        and the f64 call sites — the refine-residuals passes that
+        ``jax.vjp`` c_eq in ``ipm.py`` — fall back to the generic
+        differentiable path via this None return. The two paths COMPOSE in
+        one solve: f32 trial-grid evaluations ride the kernel while the f64
+        refinement residuals take the AD-capable path (regression:
+        ``tests/test_expv_kernel.py::test_kernel_jaxpr_x64_clean`` — the
+        kernels must stay i64/f64-free under jax_enable_x64 for this mix to
+        compile on TPU)."""
         if (
             self.G_fn is not None
             or self.method != "taylor"

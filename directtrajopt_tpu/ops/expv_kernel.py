@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -147,7 +149,11 @@ def _kernel(order, xd, n_dr, free_time, gd_ref, gv_ref, u_ref, dt_ref, x_ref,
     yd_u = [[zero] * xd for _ in range(n_dr)]
     yd_t = [zero] * xd
     for k in range(order, 0, -1):
-        inv_k = 1.0 / k
+        # np scalar, NOT a Python float: under jax_enable_x64 a weak Python
+        # float materializes as an f64 constant inside the Mosaic module,
+        # which fails to legalize ("func.return") even though every array is
+        # f32 — the kernel must be x64-config-independent
+        inv_k = np.float32(1.0 / k)
         new_u = []
         for m in range(n_dr):
             Gvy = [
@@ -168,7 +174,7 @@ def _kernel(order, xd, n_dr, free_time, gd_ref, gv_ref, u_ref, dt_ref, x_ref,
             yd_t = [(Gy[i] + Ay[i]) * inv_k for i in range(xd)]
         Ecols = [
             [
-                (1.0 if i == c else 0.0) + Av_i * inv_k
+                (np.float32(1.0) if i == c else np.float32(0.0)) + Av_i * inv_k
                 for i, Av_i in enumerate(mv(A, Ecols[c]))
             ]
             for c in range(xd)
@@ -217,9 +223,11 @@ def _lane_spec(shape, chunk):
     """BlockSpec slicing only the minor (lane) axis into ``chunk`` blocks."""
     nd = len(shape)
     block = shape[:-1] + (chunk,)
+    # np.int32 zeros, not Python ints: under jax_enable_x64 literal ints in
+    # the index map trace as i64 and the Mosaic module fails to legalize
     return pl.BlockSpec(
         block,
-        lambda c, _nd=nd: (0,) * (_nd - 1) + (c,),
+        lambda c, _nd=nd: (np.int32(0),) * (_nd - 1) + (c,),
         memory_space=pltpu.VMEM,
     )
 
@@ -307,7 +315,7 @@ def _res_kernel(order, xd, n_dr, gd_ref, gv_ref, u_ref, dt_ref, x_ref, xn_ref,
     ]
     y = xs
     for k in range(order, 0, -1):
-        inv_k = 1.0 / k
+        inv_k = np.float32(1.0 / k)  # see _kernel: x64-safe scalar constant
         y = [
             xs[i]
             + sum((A[i][j] * y[j] for j in range(1, xd)), start=A[i][0] * y[0])

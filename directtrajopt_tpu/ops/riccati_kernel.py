@@ -185,6 +185,24 @@ def _resolve_xla(s0m, P, Lv, Kg, Mvs, L0, A, B, qs, qv, b):
 # --------------------------------------------------------------------------- #
 
 
+def _fori_i32(n, body, init):
+    """``lax.fori_loop(0, n, body, init)`` with a guaranteed-i32 index.
+
+    Under ``jax_enable_x64`` fori_loop's induction variable is i64, which
+    poisons every in-kernel index computation (pl.ds, sub) — Mosaic either
+    rejects the mixed-width arithmetic or infinitely recurses lowering the
+    i64→i32 convert. An explicit i32 scan carry keeps the traced program
+    identical to the x64-off one.
+    """
+
+    def step(carry, _):
+        i, c = carry
+        return (i + np.int32(1), body(i, c)), None
+
+    (_, out), _ = jax.lax.scan(step, (np.int32(0), init), None, length=n)
+    return out
+
+
 def _rsqrt_exact(d):
     """Newton-refined rsqrt: exact to ~1 ulp even if lax.rsqrt is approximate."""
     y = jax.lax.rsqrt(d)
@@ -216,7 +234,7 @@ def _chol_unrolled(H, n, Bt, dtype):
         d = ent(H, r, r)
         for t in range(r):
             d = d - L_e[r][t] * L_e[r][t]
-        ok = ok * jnp.where(d > 0, 1.0, 0.0).astype(dtype)
+        ok = ok * (d > 0).astype(dtype)  # not where(.,1.0,0.0): f64 under x64
         d = jnp.maximum(d, _TINY)
         y = _rsqrt_exact(d)
         inv_diag[r] = y
@@ -326,7 +344,9 @@ def _fused_kernel(
 
     def bwd(i, carry):
         P, p, ok = carry  # (ns,ns,B), (R,ns,B), (1,1,B)
-        k = N - 1 - i
+        # i32 index arithmetic regardless of the x64 config: an i64 loop
+        # index reaches arith.subi/pl.ds as mixed-width and Mosaic rejects it
+        k = np.int32(N - 1) - i
         Qss, Qsv, Qvv = rd(qss_ref, k), rd(qsv_ref, k), rd(qvv_ref, k)
         A, B = rd(a_ref, k), rd(b_ref, k)
         qs_k, qv_k, b_k = rd(qs_ref, k), rd(qv_ref, k), rd(rb_ref, k)
@@ -362,7 +382,7 @@ def _fused_kernel(
     P0 = jnp.zeros((ns, ns, Bt), dtype)
     p0 = jnp.zeros((R, ns, Bt), dtype)
     ok0 = jnp.ones((1, 1, Bt), dtype)
-    P0, p0, ok = jax.lax.fori_loop(0, N, bwd, (P0, p0, ok0))
+    P0, p0, ok = _fori_i32(N, bwd, (P0, p0, ok0))
 
     # ---- initial-state masked Cholesky + solve --------------------------- #
     free0 = [bool(s0m[i]) for i in range(ns)]
@@ -380,7 +400,7 @@ def _fused_kernel(
         d = p0_ent(r, r)
         for t in range(r):
             d = d - L0_e[r][t] * L0_e[r][t]
-        ok = ok * jnp.where(d > 0, 1.0, 0.0).astype(dtype)
+        ok = ok * (d > 0).astype(dtype)  # not where(.,1.0,0.0): f64 under x64
         d = jnp.maximum(d, _TINY)
         y = _rsqrt_exact(d)
         inv0[r] = y
@@ -449,7 +469,7 @@ def _fused_kernel(
         dzv_ref[pl.ds(k, 1)] = v[None]
         return s_next
 
-    jax.lax.fori_loop(0, N, fwd, ds0)
+    _fori_i32(N, fwd, ds0)
 
 
 def _resolve_kernel(
@@ -473,7 +493,7 @@ def _resolve_kernel(
         return r * (2.0 - x * r)
 
     def bwd(i, p):
-        k = N - 1 - i
+        k = np.int32(N - 1) - i  # i32: see above
         # P_{k+1}: zeros at the last stage
         Pn = jnp.where(k < N - 1, rd(p_in_ref, jnp.minimum(k + 1, N - 1)), 0.0)
         Lmat = rd(l_in_ref, k)
@@ -499,7 +519,7 @@ def _resolve_kernel(
         kstash_ref[pl.ds(k, 1)] = kff[None]
         return p_new
 
-    p0 = jax.lax.fori_loop(0, N, bwd, jnp.zeros((R, ns, Bt), dtype))
+    p0 = _fori_i32(N, bwd, jnp.zeros((R, ns, Bt), dtype))
 
     free0 = [bool(s0m[i]) for i in range(ns)]
     L0mat = l0_in_ref[...]
@@ -548,7 +568,7 @@ def _resolve_kernel(
         dzv_ref[pl.ds(k, 1)] = v[None]
         return s_next
 
-    jax.lax.fori_loop(0, N, fwd, ds0)
+    _fori_i32(N, fwd, ds0)
 
 
 # --------------------------------------------------------------------------- #
@@ -602,9 +622,12 @@ def _from_lanes(x, Bn):
 def _lane_spec(shape, chunk):
     """BlockSpec slicing only the minor (lane) axis into ``chunk`` blocks."""
     nd = len(shape)
+    # np.int32 zeros, not Python ints: under jax_enable_x64 literal ints in
+    # the index map trace as i64 and the Mosaic module fails to legalize
+    # ("func.return") — see ops/expv_kernel._lane_spec
     return pl.BlockSpec(
         shape[:-1] + (chunk,),
-        lambda c, _nd=nd: (0,) * (_nd - 1) + (c,),
+        lambda c, _nd=nd: (np.int32(0),) * (_nd - 1) + (c,),
         memory_space=pltpu.VMEM,
     )
 

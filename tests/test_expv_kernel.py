@@ -249,3 +249,44 @@ def test_e2e_solve_matches_generic_path():
     np.testing.assert_allclose(
         np.asarray(res_fast.ipm.Z), np.asarray(res_ref.ipm.Z), atol=1e-7
     )
+
+
+def test_kernel_jaxpr_x64_clean():
+    """The Pallas kernels must trace to i64/f64-free programs under
+    jax_enable_x64 (the suite-wide config here).
+
+    Regression: Python-int literals in BlockSpec index maps and fori_loop
+    induction variables trace as i64 under x64; Mosaic then either rejects
+    the mixed-width index arithmetic ('failed to legalize func.return' /
+    'arith.subi requires the same type') or infinitely recurses lowering the
+    i64->i32 convert. That killed every kernel-path TPU solve in a process
+    with x64 enabled — exactly the refine_residuals configuration."""
+    import re
+
+    from directtrajopt_tpu.ops.expv_kernel import _res_pallas
+    from directtrajopt_tpu.ops.riccati_kernel import _factor_solve_pallas
+
+    assert jax.config.jax_enable_x64  # the premise of the regression
+    rng = np.random.default_rng(0)
+    f = jnp.float32
+    a = lambda *sh: jnp.asarray(rng.standard_normal(sh), f)
+
+    K, xd, n_dr, B = 10, 4, 2, 128
+    jx = jax.make_jaxpr(
+        lambda *ar: _res_pallas(6, *ar, interpret=False)
+    )(a(B, K, xd, xd)[:, 0], a(B, n_dr, xd, xd), a(B, K, n_dr),
+      jnp.full((B, K), 0.1, f), a(B, K, xd), a(B, K, xd))
+    txt = str(jx)
+    assert "i64" not in txt and "f64" not in txt, re.findall(
+        r"[^\n]*(?:i64|f64)[^\n]*", txt
+    )[:5]
+
+    N, ns, nv, R = 11, 4, 7, 3
+    jx = jax.make_jaxpr(
+        lambda *ar: _factor_solve_pallas((1, 1, 1, 1), *ar, interpret=False)
+    )(a(B, N, ns, ns), a(B, N, ns, nv), a(B, N, nv, nv), a(B, N, ns, ns),
+      a(B, N, ns, nv), a(B, R, N, ns), a(B, R, N, nv), a(B, R, N, ns))
+    txt = str(jx)
+    assert "i64" not in txt and "f64" not in txt, re.findall(
+        r"[^\n]*(?:i64|f64)[^\n]*", txt
+    )[:5]
