@@ -33,6 +33,8 @@ from .integrators import (
     DerivativeIntegrator,
     GeneralIntegrator,
     TimeDependentBilinearIntegrator,
+    td_integration_error,
+    tune_n_steps,
 )
 from .module import HashableArray, module, static_field
 from .objectives import (

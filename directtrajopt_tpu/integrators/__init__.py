@@ -12,6 +12,8 @@ from .time_dependent import (
     GeneralIntegrator,
     TimeDependentBilinearIntegrator,
     rk4_step,
+    td_integration_error,
+    tune_n_steps,
 )
 
 __all__ = [
@@ -20,6 +22,8 @@ __all__ = [
     "GeneralIntegrator",
     "TimeDependentBilinearIntegrator",
     "rk4_step",
+    "td_integration_error",
+    "tune_n_steps",
     "evaluate",
     "integrator_dim",
     "stack_hessians",

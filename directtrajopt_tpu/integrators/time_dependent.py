@@ -25,7 +25,13 @@ import jax
 from ..module import module, static_field
 from ..trajectory import Layout, Trajectory
 
-__all__ = ["TimeDependentBilinearIntegrator", "GeneralIntegrator", "rk4_step"]
+__all__ = [
+    "TimeDependentBilinearIntegrator",
+    "GeneralIntegrator",
+    "rk4_step",
+    "td_integration_error",
+    "tune_n_steps",
+]
 
 
 def rk4_step(f: Callable, x: jax.Array, h, *args) -> jax.Array:
@@ -155,6 +161,72 @@ class TimeDependentBilinearIntegrator:
             f"ODESolve(G({self.u_name}(τ), {self.t_name})) (order "
             f"{self.spline_order})"
         )
+
+
+def td_integration_error(integ, layout: Layout, zmat: jax.Array) -> jax.Array:
+    """Per-window RK4 truncation-error estimate by step doubling.
+
+    The reference integrates the TD residual with adaptive Tsit5 under user
+    tolerances (`time_dependent_bilinear_integrator.jl:70-132`); adaptive
+    stepping is data-dependent control flow a jitted lockstep batch cannot
+    afford, so the TPU-native scheme is a STATIC ``n_steps`` fixed-step RK4
+    validated (and, via :func:`tune_n_steps`, chosen) at setup time. This
+    returns the classic step-doubling estimate for that validation: with
+    RK4's O(h⁴) local order, ``err ≈ ‖y_n − y_2n‖∞ / 15`` per window
+    (Richardson; Hairer–Nørsett–Wanner II.4). Jittable, static shapes.
+
+    Shapes: zmat (N, dim) → (N−1,) max-norm error per window.
+    """
+    import jax.numpy as jnp
+
+    from .base import windows
+
+    W = windows(zmat)
+    ks = jnp.arange(layout.N - 1)
+    integ2 = integ.replace(n_steps=2 * integ.n_steps)
+
+    def err(w, k):
+        r1 = integ.residual(layout, w, k)
+        r2 = integ2.residual(layout, w, k)
+        # residual = x_next − y, so r1 − r2 = y_2n − y_n
+        return jnp.max(jnp.abs(r1 - r2)) / 15.0
+
+    return jax.vmap(err)(W, ks)
+
+
+def tune_n_steps(
+    integ,
+    traj: Trajectory,
+    *,
+    atol: float = 1e-3,
+    start: int | None = None,
+    max_n_steps: int = 640,
+) -> tuple["TimeDependentBilinearIntegrator", float]:
+    """Pick the smallest power-of-two multiple of ``n_steps`` meeting ``atol``.
+
+    Host-side doubling loop over the jittable step-doubling estimate —
+    the TPU analog of the reference's adaptive-tolerance ODE solve
+    (`time_dependent_bilinear_integrator.jl:70-132`, default reltol 1e-6 /
+    abstol 1e-6; its own integrator tests accept atol=1e-3 agreement,
+    `:248-269`): adaptivity runs ONCE at problem-setup time on the initial
+    trajectory, then the solve compiles a fixed chain. The estimate is
+    evaluated at the initial guess; since the optimizer moves u within its
+    bounds, pass a representative (e.g. bound-saturated) trajectory for a
+    conservative choice.
+
+    Returns ``(integrator_with_tuned_n_steps, max_window_error_estimate)``.
+    """
+    import numpy as np
+
+    layout = traj.layout
+    zmat = traj.to_zvec()[: layout.N * layout.dim].reshape(layout.N, layout.dim)
+    n = start if start is not None else integ.n_steps
+    while True:
+        cand = integ.replace(n_steps=n)
+        e = float(np.max(np.asarray(td_integration_error(cand, layout, zmat))))
+        if e <= atol or n >= max_n_steps:
+            return cand, e
+        n *= 2
 
 
 @module

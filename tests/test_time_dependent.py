@@ -195,3 +195,54 @@ def test_td_order1_riccati_via_substitution():
 
     # the returned problem carries the ORIGINAL integrators (no closure leak)
     assert res_r.problem.integrators[0].u_next_fn is None
+
+
+def test_td_error_estimate_and_n_steps_tuning():
+    """Step-doubling error control for the fixed-step TD integrator.
+
+    The reference integrates adaptively under tolerances
+    (`time_dependent_bilinear_integrator.jl:70-132`) and its own tests
+    accept atol=1e-3 agreement (`:248-269`). The TPU-native analog is a
+    static ``n_steps`` chosen/validated against that bar: this test
+    DOCUMENTS a problem class (fast-oscillating G with ~10 carrier periods
+    per knot interval) where the default n_steps=10 silently
+    under-integrates, and asserts the tuner detects it and fixes it."""
+    from directtrajopt_tpu.integrators import td_integration_error, tune_n_steps
+
+    N, nu = 6, 60.0  # dt=1.0 per knot, carrier frequency nu => nu*h = 6 at n=10
+    rng = np.random.default_rng(3)
+    dts = np.full((N, 1), 1.0)
+    traj = dtx.Trajectory.create(
+        {
+            "x": rng.normal(size=(N, 2)) * 0.5,
+            "u": rng.normal(size=(N, 1)) * 0.5,
+            "t": np.cumsum(dts, axis=0) - 1.0,
+            "dt": dts,
+        },
+        timestep="dt",
+        controls="u",
+    )
+    G = lambda u, t: (jnp.sin(nu * t) + u[0]) * jnp.asarray(G_DRIFT)
+    td = dtx.TimeDependentBilinearIntegrator.create(
+        G, "x", "u", "t", traj, spline_order=0, n_steps=10
+    )
+    layout = traj.layout
+    zmat = traj.knot_matrix()
+
+    # the documented failure: the default n_steps misses the 1e-3 bar
+    err10 = float(np.max(np.asarray(td_integration_error(td, layout, zmat))))
+    assert err10 > 1e-3, f"problem class no longer under-integrates: {err10}"
+
+    tuned, est = tune_n_steps(td, traj, atol=1e-3)
+    assert tuned.n_steps > 10 and est <= 1e-3
+
+    # the estimate is honest: against a 512-step "exact" integration the
+    # tuned residual lands within the requested band (x ~ O(1), unit-norm
+    # generator => absolute error ~ local truncation error)
+    exact = td.replace(n_steps=512)
+    r_tuned = np.asarray(stack_residuals(tuned, layout, zmat))
+    r_exact = np.asarray(stack_residuals(exact, layout, zmat))
+    assert np.max(np.abs(r_tuned - r_exact)) < 5e-3
+    # and the default-n_steps residual genuinely violates it
+    r_10 = np.asarray(stack_residuals(td, layout, zmat))
+    assert np.max(np.abs(r_10 - r_exact)) > 1e-3
