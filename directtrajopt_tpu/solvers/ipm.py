@@ -279,11 +279,12 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
     # gives λ₀ = argmin-ish ‖∇f + Jᵀλ‖, so the first Lagrangian Hessian is
     # built from meaningful curvature instead of λ=0
     gn = options.hessian_approximation == "gauss_newton"
+    sw = options.hessian_regularization == "stagewise"
     lam0 = jnp.zeros((n_eq,), dtype=dtype)
     if warm is not None:
         lam0 = warm.lam.astype(dtype)
     elif options.dual_init == "least_squares" and n_eq:
-        ctx0 = ops.prepare(Z_init, lam0, nu0, cache=(c_e0, c_i0), gauss_newton=gn)
+        ctx0 = ops.prepare(Z_init, lam0, nu0, cache=(c_e0, c_i0), gauss_newton=gn, stagewise=sw)
         SigL0 = jnp.where(mask_L, zL0 / dL0, 0.0)
         SigU0 = jnp.where(mask_U, zU0 / dU0, 0.0)
         Sig0 = (SigL0 + SigU0) * free
@@ -363,7 +364,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         # residuals at Z were computed by the line-search trial that accepted
         # it — carrying them through the loop saves one full c_eq/c_in (and
         # one objective) evaluation per iteration
-        ctx = ops.prepare(Z, lam, nu, cache=(st.c_e, st.c_i), gauss_newton=gn)
+        ctx = ops.prepare(Z, lam, nu, cache=(st.c_e, st.c_i), gauss_newton=gn, stagewise=sw)
         gf, c_e, c_i = ctx.grad_f, ctx.c_e, ctx.c_i
 
         if hi:

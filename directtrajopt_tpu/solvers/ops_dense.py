@@ -185,5 +185,10 @@ class DenseOps:
     def __init__(self, nlp: CanonicalNLP):
         self.nlp = nlp
 
-    def prepare(self, Z, lam, nu, cache=None, gauss_newton=False) -> _DenseCtx:
+    def prepare(self, Z, lam, nu, cache=None, gauss_newton=False,
+                stagewise=False) -> _DenseCtx:
+        # `stagewise` (options.hessian_regularization) is a no-op here: the
+        # dense path has no stage blocks to shift individually — a global
+        # eigen-projection of W would cost a second O(z_dim³) factorization
+        # per iteration. The δ_w ladder remains its inertia repair.
         return _DenseCtx(self.nlp, Z, lam, nu, cache, gauss_newton)

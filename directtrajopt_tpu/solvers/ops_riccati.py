@@ -118,6 +118,44 @@ def _chosolve(L, b):
     return jnp.stack(x, axis=-1 if vec else -2)
 
 
+def _stage_min_shift(Q, n_iter: int = 12, margin_rel: float = 1e-5):
+    """Per-stage Levenberg shift estimate: ``max(0, −λ̂_min(Q_k) + ε_k)``.
+
+    The global δ_w inertia ladder (Ipopt §3.1 and `_reg_retry`) inflates
+    EVERY stage when ANY stage carries indefinite constraint curvature —
+    on the bilinear family that costs the exact-Hessian mode a 5× iteration
+    penalty vs Gauss-Newton (damped steps lose Newton quality everywhere to
+    fix one knot's saddle). This estimates each stage's own most-negative
+    eigenvalue so the retry can shift each stage individually past it
+    (``options.hessian_regularization == "stagewise"``).
+
+    λ_min is ESTIMATED, not certified: shifted power iteration on
+    ``cI − Q`` (c = Gershgorin row bound ⇒ the iterated operator is PSD,
+    its λ_max is ``c − λ_min(Q)``), `n_iter` tiny batched matvecs — MXU
+    shapes, no eigendecomposition (batched eigh is QR-iteration-slow on
+    TPU). Underestimates only shrink the shift; the Riccati sweep's
+    Cholesky inertia certificate and the δ_w ladder remain the backstop.
+
+    Returns the per-stage shift (N,) on the leading Q axes.
+    """
+    d = Q.shape[-1]
+    dtype = Q.dtype
+    # Gershgorin upper bound on |λ|: max_i Σ_j |Q_ij|  (per stage)
+    c = jnp.max(jnp.sum(jnp.abs(Q), axis=-1), axis=-1)
+    c = jnp.maximum(c, jnp.asarray(1e-30, dtype))
+    # fixed sign-varying start vector: a constant vector can be orthogonal
+    # to the extreme eigenvector on structured stages
+    v = jnp.asarray(np.sign(np.sin(1.0 + np.arange(d))), dtype)
+    v = jnp.broadcast_to(
+        v / jnp.sqrt(jnp.asarray(float(d), dtype)), Q.shape[:-2] + (d,)
+    )
+    for _ in range(n_iter):
+        w = c[..., None] * v - jnp.einsum("...ij,...j->...i", Q, v)
+        v = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-30)
+    ray = jnp.einsum("...i,...ij,...j->...", v, Q, v)  # ≈ λ_min(Q_k)
+    return jnp.maximum(0.0, -ray + margin_rel * c)
+
+
 @dataclass
 class OCPStructure:
     """Static structure of an explicit OCP (built once at trace time)."""
@@ -406,7 +444,7 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
 class _RiccatiCtx:
     def __init__(self, nlp: CanonicalNLP, S: OCPStructure, Z, lam, nu,
                  pallas_mode: str = "auto", cache=None,
-                 gauss_newton: bool = False):
+                 gauss_newton: bool = False, stagewise: bool = False):
         self.nlp = nlp
         self.S = S
         self.Z = Z
@@ -527,6 +565,11 @@ class _RiccatiCtx:
             QW = add_nl_hess(QW, nlp.eq_cons, S.nl_eq_offsets, lam)
             QW = add_nl_hess(QW, nlp.in_cons, S.nl_in_offsets, nu)
         self.QW = QW
+        # options.hessian_regularization == "stagewise": kkt_step computes a
+        # per-stage λ_min shift and engages it inside the retry ladder (only
+        # after the δ-floor probe fails), so well-conditioned problems keep
+        # the undamped Newton step
+        self.stagewise = stagewise and not gauss_newton
 
         # ---- arrowhead Hessian blocks: ∂²L/∂z∂g and ∂²L/∂g² --------------- #
         if n_g:
@@ -961,6 +1004,20 @@ class _RiccatiCtx:
         Qsv = Q[:, s_ix[:, None], v_ix[None, :]]
         Qvv = Q[:, v_ix[:, None], v_ix[None, :]]
 
+        # hessian_regularization == "stagewise": per-stage λ_min shift on
+        # every factorization. NOT gated on the retry ladder: the bilinear
+        # family's pathology is nearly-singular-but-POSITIVE curvature — the
+        # δ-floor probe certifies fine and a failure-gated shift never
+        # engages (measured: gated = 113 med iterations ≈ the 110 baseline,
+        # always-on = 54). The converse cost is real too — on problems whose
+        # early indefinite stages still carry correct KKT inertia the shift
+        # damps productive Newton steps (cartpole 9 → 41 iterations) — which
+        # is why this is an opt-in mode, not the default.
+        if getattr(self, "stagewise", False):
+            sw_shift = _stage_min_shift(Q)
+        else:
+            sw_shift = None
+
         eye_v = jnp.eye(n_v, dtype=dtype)
         eye_s = jnp.eye(n_s, dtype=dtype)
         fS = f_blk[:, s_ix][:, :, None] * eye_s[None]  # (N, n_s, n_s) diag
@@ -1031,10 +1088,14 @@ class _RiccatiCtx:
             )
 
         def factor(delta_w):
+            if sw_shift is not None:
+                dshift = delta_w + sw_shift
+            else:
+                dshift = jnp.broadcast_to(delta_w, (N,))
             P, Lv, Kg, Mvs, L0, okf, dzs, dzv, lamS = FS(
-                Qss + delta_w * fS,
+                Qss + dshift[:, None, None] * fS,
                 Qsv,
-                Qvv + delta_w * fV,
+                Qvv + dshift[:, None, None] * fV,
                 Abar_p,
                 Bbar_p,
                 qs_all,
@@ -1327,8 +1388,9 @@ class RiccatiOps:
 
         self.pallas_mode = os.environ.get("DTX_PALLAS", pallas_mode)
 
-    def prepare(self, Z, lam, nu, cache=None, gauss_newton=False) -> _RiccatiCtx:
+    def prepare(self, Z, lam, nu, cache=None, gauss_newton=False,
+                stagewise=False) -> _RiccatiCtx:
         return _RiccatiCtx(
             self.nlp, self.struct, Z, lam, nu, self.pallas_mode, cache,
-            gauss_newton,
+            gauss_newton, stagewise,
         )

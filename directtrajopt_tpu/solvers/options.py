@@ -96,6 +96,27 @@ class IPMOptions:
     # constraint curvature dominates, e.g. strongly nonlinear dynamics with
     # large multipliers); the bilinear benchmarks pass gauss_newton.
     hessian_approximation: str = static_field(default="exact")
+    # Indefinite/degenerate-curvature repair for the EXACT mode (static):
+    # "inertia": classic global δ_w ladder only (Ipopt §3.1 behavior).
+    # "stagewise": additionally shift each knot's Hessian block past its own
+    # estimated λ_min on every factorization (shifted power iteration —
+    # MXU-friendly batched matvecs, no eigh), so one knot's saddle or gauge
+    # valley no longer requires damping every stage's Newton step; the δ_w
+    # ladder stays as the certified backstop. Riccati backend only (the
+    # dense path has no stage blocks — silently ignored there).
+    # Measured on the N=51 free-time bilinear family (B=32, CPU f32,
+    # tol=1e-6, exact): median iterations 110 ("inertia") → 54-58
+    # ("stagewise") at identical 32/32 convergence — half the exact-mode
+    # gap to Gauss-Newton's 20 (GN stays the right choice for this
+    # least-squares-like family; stagewise needs no GN structural
+    # assumption). NOT the default and not auto-engaged: on problems whose
+    # early indefinite stages still carry correct KKT inertia the shift
+    # damps productive Newton steps (cartpole: 9 → 41 iterations), and no
+    # per-factorization signal separates that regime from the
+    # nearly-singular-but-positive one this mode fixes (a ladder-failure
+    # gate measured 113 ≈ baseline on the bilinear family — the floored
+    # probe certifies fine there).
+    hessian_regularization: str = static_field(default="inertia")
     # Mixed-precision residual refinement (static: changes the traced graph).
     # When the solve dtype is f32, evaluate the cancellation-limited
     # quantities — c_eq/c_in, ∇f, the dual residual ∇f+Jᵀλ+Jᵀν−zL+zU, the
