@@ -119,9 +119,16 @@ def main():
     )
     sched["hessian_approximation"] = "gauss_newton"
     if on_tpu:
-        # trimmed trial grid: 7 backtracking + 2 restoration slots measured
-        # +3% at identical 512/512 convergence
-        sched.update(max_ls=7, n_rest_trials=2)
+        # trimmed trial grid (7 backtracking slots, +3% in r3) and NO
+        # SOC/restoration directions (max_soc=0, n_rest_trials=0): on this
+        # family under the aggressive acceptable-band schedule the extra
+        # directions almost never win a trial, but their multi-RHS resolve
+        # costs a full factor-sweep pass per iteration — dropping it
+        # measured 3050 → 3350-3560 solves/s at identical 512/512
+        # convergence (r4; tail iterations rise ~40%, the compact scheduler
+        # absorbs them). Keep SOC on for strict-tolerance or
+        # harder-constrained runs.
+        sched.update(max_ls=7, n_rest_trials=0, max_soc=0)
 
     batch = make_batched_bilinear_problems(
         BATCH, N=N, feasible_start=True, taylor_order=TAYLOR

@@ -180,6 +180,17 @@ def _resolve_xla(s0m, P, Lv, Kg, Mvs, L0, A, B, qs, qv, b):
     return jnp.moveaxis(s_all, 0, 1), jnp.moveaxis(v_all, 0, 1), lam
 
 
+# MEASURED AND REJECTED — log-depth associative-scan resolve. With factors
+# fixed, both resolve substitutions are affine recurrences p_k = p_{k+1}@T_k
+# + d_k (T_k = A_k + B_k@Kg_k), so an O(log N)-depth lax.associative_scan
+# reproduces `_resolve_xla` exactly (validated to 8e-16 at N=51). On-chip it
+# LOSES 3×: bench 1033 vs 3050 solves/s (B=512, r4) — each scan level runs
+# batched (4,4) matmuls that XLA pads to (8,128) tiles, so ~2-3× FLOPs at
+# ~3% tile utilization swamps the depth win; the batch-on-lanes Pallas sweep
+# keeps lanes full and its 51 "sequential" fused VPU steps are cheaper than
+# 6 padded levels. Restore from git history (search _resolve_xla_parallel)
+# if stage dims ever grow past ~16 where tile padding stops dominating.
+
 # --------------------------------------------------------------------------- #
 # Pallas kernels (batch-on-lanes)
 # --------------------------------------------------------------------------- #

@@ -780,28 +780,44 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             ci_soc = jnp.zeros((0,), dtype=dtype)
             g_soc = jnp.zeros((z_dim,), dtype=dtype)
         n_rest = options.n_rest_trials if (n_eq or n_in) else 0
+        soc_on = options.max_soc > 0
+        rest_rhs = []
+        if soc_on:
+            rest_rhs.append((-g_hat - g_soc, -c_soc))
         if n_rest:
-            # fuse the SOC and restoration solves into ONE multi-RHS pass
-            # over the stored factorization (the sweep streams the stage
-            # factors once for both right-hand sides)
             g_rest = (
                 free * ctx.JiT(D * (c_i + s))
                 if n_in
                 else jnp.zeros((z_dim,), dtype=dtype)
             )
-            rz2 = jnp.stack([-g_hat - g_soc, -g_rest])
-            rc2 = jnp.stack([-c_soc, -c_e])
+            rest_rhs.append((-g_rest, -c_e))
+        if len(rest_rhs) == 2:
+            # fuse the SOC and restoration solves into ONE multi-RHS pass
+            # over the stored factorization (the sweep streams the stage
+            # factors once for both right-hand sides)
+            rz2 = jnp.stack([rest_rhs[0][0], rest_rhs[1][0]])
+            rc2 = jnp.stack([rest_rhs[0][1], rest_rhs[1][1]])
             dZ2, lam2 = resolve.many(rz2, rc2)
             dZ_soc, lam_soc = dZ2[0], lam2[0]
             dZ_r = dZ2[1]
+        elif soc_on:
+            dZ_soc, lam_soc = resolve(*rest_rhs[0])
+        elif n_rest:
+            dZ_r, _ = resolve(*rest_rhs[0])
+            # max_soc=0: the SOC slot trials the plain direction at α=0
+            dZ_soc, lam_soc = dZ, lam_plus
         else:
-            dZ_soc, lam_soc = resolve(-g_hat - g_soc, -c_soc)
-        if hi:
+            dZ_soc, lam_soc = dZ, lam_plus
+        if hi and soc_on:
             # g_hat carries the Jᵀλ shift, so the SOC multiplier output is
             # an increment too (the restoration row's multiplier is discarded)
             lam_soc = lam + lam_soc
         ds_soc = -(ci_soc) - ctx.Ji(dZ_soc) if n_in else jnp.zeros((0,), dtype=dtype)
-        a_soc = max_primal_step(dZ_soc, ds_soc)
+        a_soc = (
+            max_primal_step(dZ_soc, ds_soc)
+            if soc_on
+            else jnp.zeros((), dtype=dtype)
+        )
 
         # restoration direction: pure feasibility step in the Lagrangian
         # metric (min ½dzᵀ(W+Σ)dz s.t. J dz = −c), solved above in the same

@@ -154,6 +154,14 @@ class IPMOptions:
     # the filter was reset on a μ update, repeat. 0 disables (classic rule).
     theta_growth_cap: float = 0.0
     max_ls: int = static_field(default=10)
+    # Second-order-correction trials per iteration (static; Ipopt `max_soc`,
+    # default 4 there). Here the SOC rides the parallel trial grid, so the
+    # meaningful values are 1 (one SOC direction, the default — Ipopt's
+    # further SOC rounds refine the same idea sequentially, which a lockstep
+    # batch cannot afford) and 0 (skip the SOC resolve entirely — saves one
+    # multi-RHS factor sweep per iteration on problems where SOC never
+    # fires; the α_min fallback and restoration trials keep running).
+    max_soc: int = static_field(default=1)
     # Non-monotone (Grippo-style) acceptance memory: the φ reference in the
     # Armijo/sufficient-decrease tests is the max over the last `ls_memory`
     # iterates at the current barrier value (history resets on μ updates,
