@@ -24,16 +24,28 @@ import time
 
 
 
-def _timeit(fn, *args, repeats=5):
-    import jax
+def _sync(out):
+    """Force completion with a REAL host fetch.
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    ``jax.block_until_ready`` silently no-ops through the axon-tunneled TPU
+    runtime (observed r4: a 30-iteration B=256 solve "completed" in 1.8 ms
+    under block_until_ready vs 78.7 ms under an actual np.asarray fetch —
+    every stage marginal read as 0). Fetching one output leaf forces the
+    whole program; the fetch's transfer cost is constant in the loop trip
+    count, so the K2−K1 finite difference cancels it exactly.
+    """
+    import jax
+    import numpy as np
+
+    return np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+
+
+def _timeit(fn, *args, repeats=5):
+    _sync(fn(*args))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best * 1e3  # ms
 
@@ -97,7 +109,10 @@ def main():
 
                 ops = RiccatiOps(nlp)
                 body = make_body(nlp, ops, Z, lam, nu, s, zL, zU, mu, dlast)
-                return jax.lax.fori_loop(0, K, body, Z)
+                # scalar output: the timing sync is a REAL host fetch (see
+                # _sync), so returning Z would add a 0.6 MB transfer whose
+                # latency jitter swamps sub-ms stage marginals
+                return jnp.sum(jax.lax.fori_loop(0, K, body, Z))
 
             return jax.jit(jax.vmap(run, in_axes=(0,) * 9))
 
@@ -229,7 +244,7 @@ def main():
     def run_k(k):
         r = solve_batch(batch, max_iter=k, tol=1e-20, acceptable_tol=1e-20,
                         hessian_approximation=opt.hessian_approximation)
-        return r.kkt_error
+        return jnp.sum(r.kkt_error)  # scalar: cheap real fetch in _sync
 
     t10 = _timeit(run_k, 10, repeats=3)
     t30 = _timeit(run_k, 30, repeats=3)

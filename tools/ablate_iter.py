@@ -47,11 +47,11 @@ def main():
         )
         for mi in (I0, I1):
             fn = lambda: solve_batch(batch, max_iter=mi, **base)
-            fn().kkt_error.block_until_ready()
+            np.asarray(fn().kkt_error)  # real fetch: block_until_ready no-ops via axon
             best = np.inf
             for _ in range(4):
                 t0 = time.perf_counter()
-                fn().kkt_error.block_until_ready()
+                np.asarray(fn().kkt_error)  # real fetch: block_until_ready no-ops via axon
                 best = min(best, time.perf_counter() - t0)
             times[mi] = best
         for k in env:

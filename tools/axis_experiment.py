@@ -43,12 +43,12 @@ def main():
 
     def bench(fn, arg, tag):
         out = fn(arg, opt)
-        jax.block_until_ready(out)
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]  # real fetch: block_until_ready no-ops via axon
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
             out = fn(arg, opt)
-            jax.block_until_ready(out)
+            np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]  # real fetch: block_until_ready no-ops via axon
             best = min(best, time.perf_counter() - t0)
         per_iter_us = best / iters / B * 1e6
         print(f"{tag}: wall {best*1e3:8.1f} ms  {per_iter_us:6.2f} us/lane/iter")
