@@ -13,6 +13,7 @@ including the CPU-emulated meshes used in tests and the driver's
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -117,15 +118,31 @@ def solve_batch_compact_sharded(
     multiple of nothing in particular (chunks pad), but throughput is best
     at ≥ ``chunk`` lanes per device.
     """
-    from jax.sharding import PartitionSpec as P
-
-    from ..solvers.solve import _compact_body, _merge_options
-
     options = _merge_options(options, kwargs)
     mesh = mesh or make_mesh(axis_name=axis_name)
     batch = shard_batch(batch, mesh, axis_name)
-    body = _compact_body(backend, tuple(phases), chunk)
+    fn = _sharded_compact_runner(
+        backend, tuple(phases), chunk, axis_name,
+        tuple(mesh.devices.flat),
+    )
+    return fn(batch, options)
 
+
+@functools.lru_cache(maxsize=None)
+def _sharded_compact_runner(backend, phases, chunk, axis_name, devices):
+    """Cached jitted shard_map program.
+
+    Rebuilding the shard_map closure per call makes every invocation a fresh
+    jit cache entry — measured as a full retrace+lower of the compact body
+    on EACH solve (~13 s/call at N=31; the r4 process-scaling proxy caught
+    it). Cache key = everything that changes the traced program.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..solvers.solve import _compact_body
+
+    mesh = Mesh(np.asarray(devices), (axis_name,))
+    body = _compact_body(backend, phases, chunk)
     spec_b = P(axis_name)
     fn = jax.shard_map(
         lambda b, o: body(b, o, None),
@@ -137,7 +154,7 @@ def solve_batch_compact_sharded(
         # skip the varying-manual-axes check instead of sprinkling pcasts
         check_vma=False,
     )
-    return jax.jit(fn)(batch, options)
+    return jax.jit(fn)
 
 
 def weak_scaling(
