@@ -46,6 +46,43 @@ _S_THETA = 1.1
 _S_PHI = 2.3
 
 
+def _lbfgs_hessian(S, Y, count, sigma_clip=(1e-6, 1e6)):
+    """Byrd–Nocedal–Schnabel compact L-BFGS Hessian, materialized dense.
+
+    ``B = σI − [σS; Y]ᵀ M⁻¹ [σS; Y]`` with
+    ``M = [[σSᵀS, L], [Lᵀ, −D]]``, L strictly-lower of SYᵀ, D = diag(SYᵀ) —
+    the same compact form MadNLP's CompactLBFGS carries
+    (`/root/reference/ext/MadNLPSolverExt/utils.jl:11-110`); here it is
+    materialized once per iteration for the dense condensed-KKT
+    factorization (m ≤ ~6, so the build is O(z²m) — below one
+    factorization). Ring slots below ``m − count`` are masked out; their
+    U-columns are zero, so padding M's diagonal keeps it invertible without
+    changing B. σ = yᵀy/yᵀs of the newest pair (standard B₀ scaling).
+    """
+    m, z = S.shape
+    dtype = S.dtype
+    valid = (jnp.arange(m) >= m - count).astype(dtype)
+    Sv = S * valid[:, None]
+    Yv = Y * valid[:, None]
+    sy_last = jnp.dot(S[-1], Y[-1])
+    yy_last = jnp.dot(Y[-1], Y[-1])
+    sigma = jnp.where(
+        count > 0, yy_last / jnp.maximum(sy_last, 1e-30), 1.0
+    )
+    sigma = jnp.clip(sigma, *sigma_clip).astype(dtype)
+    SS = Sv @ Sv.T
+    SY = Sv @ Yv.T
+    M = jnp.block(
+        [
+            [sigma * SS, jnp.tril(SY, -1)],
+            [jnp.tril(SY, -1).T, -jnp.diag(jnp.diag(SY))],
+        ]
+    )
+    M = M + jnp.diag(jnp.concatenate([1.0 - valid, 1.0 - valid]))
+    U = jnp.concatenate([sigma * Sv, Yv], axis=0)  # (2m, z)
+    return sigma * jnp.eye(z, dtype=dtype) - U.T @ jnp.linalg.solve(M, U)
+
+
 class IPMState(NamedTuple):
     Z: jax.Array
     s: jax.Array  # inequality slacks (n_in,)
@@ -83,6 +120,14 @@ class IPMState(NamedTuple):
     history_stats: jax.Array  # (T, 8) per-iteration telemetry ring (T may be 0)
     best_score: jax.Array
     best_Z: jax.Array
+    # L-BFGS mode only (None otherwise): curvature-pair ring buffers
+    # (newest pair in the last slot), live-pair count, and the previous
+    # iterate/Lagrangian-gradient needed to complete the next pair
+    lbfgs_S: jax.Array | None = None
+    lbfgs_Y: jax.Array | None = None
+    lbfgs_n: jax.Array | None = None
+    lbfgs_g_prev: jax.Array | None = None
+    lbfgs_Z_prev: jax.Array | None = None
 
 
 class WarmStart(NamedTuple):
@@ -280,11 +325,18 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
     # built from meaningful curvature instead of λ=0
     gn = options.hessian_approximation == "gauss_newton"
     sw = options.hessian_regularization == "stagewise"
+    lbfgs = options.hessian_approximation == "lbfgs"
+    m_l = options.limited_memory_max_history if lbfgs else 0
     lam0 = jnp.zeros((n_eq,), dtype=dtype)
     if warm is not None:
         lam0 = warm.lam.astype(dtype)
     elif options.dual_init == "least_squares" and n_eq:
-        ctx0 = ops.prepare(Z_init, lam0, nu0, cache=(c_e0, c_i0), gauss_newton=gn, stagewise=sw)
+        ctx0 = ops.prepare(
+            Z_init, lam0, nu0, cache=(c_e0, c_i0), gauss_newton=gn,
+            stagewise=sw, skip_hessian=lbfgs,
+        )
+        if lbfgs:  # least-squares dual init: B0 = I is the natural metric
+            ctx0.set_hessian(jnp.eye(z_dim, dtype=dtype))
         SigL0 = jnp.where(mask_L, zL0 / dL0, 0.0)
         SigU0 = jnp.where(mask_U, zU0 / dU0, 0.0)
         Sig0 = (SigL0 + SigU0) * free
@@ -340,6 +392,11 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         best_Z=Z_init,
         c_e=c_e0,
         c_i=c_i0,
+        lbfgs_S=jnp.zeros((m_l, z_dim), dtype=dtype) if lbfgs else None,
+        lbfgs_Y=jnp.zeros((m_l, z_dim), dtype=dtype) if lbfgs else None,
+        lbfgs_n=jnp.zeros((), jnp.int32) if lbfgs else None,
+        lbfgs_g_prev=jnp.zeros((z_dim,), dtype=dtype) if lbfgs else None,
+        lbfgs_Z_prev=Z_init if lbfgs else None,
     )
 
     s_max = jnp.asarray(100.0, dtype=dtype)
@@ -364,8 +421,47 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         # residuals at Z were computed by the line-search trial that accepted
         # it — carrying them through the loop saves one full c_eq/c_in (and
         # one objective) evaluation per iteration
-        ctx = ops.prepare(Z, lam, nu, cache=(st.c_e, st.c_i), gauss_newton=gn, stagewise=sw)
+        ctx = ops.prepare(
+            Z, lam, nu, cache=(st.c_e, st.c_i), gauss_newton=gn,
+            stagewise=sw, skip_hessian=lbfgs,
+        )
         gf, c_e, c_i = ctx.grad_f, ctx.c_e, ctx.c_i
+
+        if lbfgs:
+            # complete the (s, y) pair started at the END of the previous
+            # iteration: y = ∇L(Z; λ, ν) − ∇L(Z_prev; λ, ν) at the SAME
+            # multipliers (carried in lbfgs_g_prev)
+            gL_now = ctx.grad_f
+            if n_eq:
+                gL_now = gL_now + ctx.JeT(lam)
+            if n_in:
+                gL_now = gL_now + ctx.JiT(nu)
+            s_pair = Z - st.lbfgs_Z_prev
+            y_pair = gL_now - st.lbfgs_g_prev
+            sy = jnp.dot(s_pair, y_pair)
+            ss = jnp.dot(s_pair, s_pair)
+            yy = jnp.dot(y_pair, y_pair)
+            # curvature condition (skip-update safeguard; MadNLP skips too)
+            good = (
+                (st.iter > 0)
+                & (sy > 1e-8 * jnp.sqrt(ss * yy))
+                & jnp.isfinite(sy)
+                & (ss > 0)
+            )
+            lbfgs_S = jnp.where(
+                good,
+                jnp.concatenate([st.lbfgs_S[1:], s_pair[None]]),
+                st.lbfgs_S,
+            )
+            lbfgs_Y = jnp.where(
+                good,
+                jnp.concatenate([st.lbfgs_Y[1:], y_pair[None]]),
+                st.lbfgs_Y,
+            )
+            lbfgs_n = jnp.minimum(st.lbfgs_n + good, m_l)
+            ctx.set_hessian(_lbfgs_hessian(lbfgs_S, lbfgs_Y, lbfgs_n))
+        else:
+            lbfgs_S, lbfgs_Y, lbfgs_n = st.lbfgs_S, st.lbfgs_Y, st.lbfgs_n
 
         if hi:
             # f64 residual bundle: every quantity below is small near the
@@ -1191,6 +1287,19 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             best_Z=best_Z,
             c_e=c_e_new,
             c_i=c_i_new,
+            lbfgs_S=lbfgs_S,
+            lbfgs_Y=lbfgs_Y,
+            lbfgs_n=lbfgs_n,
+            # start the next pair: ∇L at the CURRENT iterate under the NEW
+            # multipliers (this iteration's ctx still holds Z's Jacobians)
+            lbfgs_g_prev=(
+                ctx.grad_f
+                + (ctx.JeT(lam_new) if n_eq else 0.0)
+                + (ctx.JiT(nu_new) if n_in else 0.0)
+            )
+            if lbfgs
+            else None,
+            lbfgs_Z_prev=Z if lbfgs else None,
         )
 
     def cond(st: IPMState):

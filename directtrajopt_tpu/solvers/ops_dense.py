@@ -79,7 +79,7 @@ def _reg_retry(factor, delta_last, opt, dtype):
 
 class _DenseCtx:
     def __init__(self, nlp: CanonicalNLP, Z, lam, nu, cache=None,
-                 gauss_newton=False):
+                 gauss_newton=False, skip_hessian=False):
         self.nlp = nlp
         self.Z = Z
         self.grad_f = assembly.gradient(nlp, Z)
@@ -91,10 +91,20 @@ class _DenseCtx:
             self.c_i = nlp.c_in(Z)
         self._Je = assembly.jac_eq(nlp, Z)
         self._Ji = assembly.jac_in(nlp, Z)
-        self._W = assembly.hess_lagrangian(
-            nlp, Z, lam, nu, 1.0, gauss_newton=gauss_newton
-        )
+        if skip_hessian:
+            # quasi-Newton mode (L-BFGS): the IPM injects the model Hessian
+            # via set_hessian() after updating its curvature pairs — no
+            # second-order AD runs at all
+            self._W = None
+        else:
+            self._W = assembly.hess_lagrangian(
+                nlp, Z, lam, nu, 1.0, gauss_newton=gauss_newton
+            )
         self._free = nlp.free_mask.astype(Z.dtype)
+
+    def set_hessian(self, W):
+        """Install an externally-built Lagrangian-Hessian model (L-BFGS)."""
+        self._W = W
 
     def JeT(self, v):
         return self._Je.T @ v
@@ -186,9 +196,10 @@ class DenseOps:
         self.nlp = nlp
 
     def prepare(self, Z, lam, nu, cache=None, gauss_newton=False,
-                stagewise=False) -> _DenseCtx:
+                stagewise=False, skip_hessian=False) -> _DenseCtx:
         # `stagewise` (options.hessian_regularization) is a no-op here: the
         # dense path has no stage blocks to shift individually — a global
         # eigen-projection of W would cost a second O(z_dim³) factorization
         # per iteration. The δ_w ladder remains its inertia repair.
-        return _DenseCtx(self.nlp, Z, lam, nu, cache, gauss_newton)
+        return _DenseCtx(self.nlp, Z, lam, nu, cache, gauss_newton,
+                         skip_hessian)

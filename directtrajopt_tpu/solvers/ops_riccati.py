@@ -1389,7 +1389,13 @@ class RiccatiOps:
         self.pallas_mode = os.environ.get("DTX_PALLAS", pallas_mode)
 
     def prepare(self, Z, lam, nu, cache=None, gauss_newton=False,
-                stagewise=False) -> _RiccatiCtx:
+                stagewise=False, skip_hessian=False) -> _RiccatiCtx:
+        if skip_hessian:
+            raise ValueError(
+                "hessian_approximation='lbfgs' needs the dense backend "
+                "(a global low-rank model has no stage-block structure); "
+                "backend='auto' routes there automatically"
+            )
         return _RiccatiCtx(
             self.nlp, self.struct, Z, lam, nu, self.pallas_mode, cache,
             gauss_newton, stagewise,

@@ -95,7 +95,18 @@ class IPMOptions:
     # ~25% cheaper. Exact stays the default for generality (GN can stall when
     # constraint curvature dominates, e.g. strongly nonlinear dynamics with
     # large multipliers); the bilinear benchmarks pass gauss_newton.
+    # "lbfgs": compact limited-memory BFGS (MadNLP's CompactLBFGS analog,
+    # `/root/reference/ext/MadNLPSolverExt/utils.jl:11-110`): no second-order
+    # AD at all — the Lagrangian curvature is modeled from
+    # `limited_memory_max_history` (s, y) pairs in the Byrd–Nocedal–Schnabel
+    # compact form and materialized once per iteration. Dense backend only
+    # (a global low-rank correction has no stage-block structure for the
+    # Riccati core); "auto" backend selection routes lbfgs to dense. The
+    # middle option for user objectives with expensive exact curvature and
+    # no Gauss-Newton structure.
     hessian_approximation: str = static_field(default="exact")
+    # L-BFGS memory (static: sizes the pair buffers; MadNLP default 6).
+    limited_memory_max_history: int = static_field(default=6)
     # Indefinite/degenerate-curvature repair for the EXACT mode (static):
     # "inertia": classic global δ_w ladder only (Ipopt §3.1 behavior).
     # "stagewise": additionally shift each knot's Hessian block past its own

@@ -140,7 +140,13 @@ def _lower_order1_td(problem: DirectTrajOptProblem) -> DirectTrajOptProblem:
     return problem.replace(integrators=tuple(integs))
 
 
-def _make_ops(nlp, backend: str):
+def _make_ops(nlp, backend: str, force_dense: bool = False):
+    if force_dense and backend == "riccati":
+        raise ValueError(
+            "hessian_approximation='lbfgs' requires the dense backend"
+        )
+    if force_dense:
+        backend = "dense"
     if backend in ("auto", "riccati"):
         from .ops_riccati import RiccatiOps, analyze
 
@@ -176,7 +182,12 @@ def _solve_impl(
     nlp = make_nlp(lowered)
     Z0 = problem.trajectory.to_zvec()
     res = ipm_solve(
-        nlp, Z0, options, ops=_make_ops(nlp, backend), callbacks=callbacks, warm=warm
+        nlp, Z0, options,
+        ops=_make_ops(
+            nlp, backend,
+            force_dense=options.hessian_approximation == "lbfgs",
+        ),
+        callbacks=callbacks, warm=warm,
     )
     new_traj = problem.trajectory.from_zvec(res.Z)
     # write back into the ORIGINAL problem: the lowering closure must not
