@@ -22,71 +22,123 @@ REFERENCE_IPOPT_S = {  # docs/src/benchmarks.md:116-124 (median of 3 seeds)
 }
 
 
-def main():
-    import jax
+CELL_TIMEOUT_S = 2400
 
-    from directtrajopt_tpu.benchmarks import make_scaled_problem
-    from directtrajopt_tpu.solvers.solve import solve_batch, solve_batch_compact
 
-    dev = jax.devices()[0]
-    on_tpu = dev.platform == "tpu"
-    if not on_tpu:
-        jax.config.update("jax_enable_x64", True)
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else (256 if on_tpu else 4)
-    print(f"device: {dev}, batch per cell: {B}", file=sys.stderr)
+def _run_cell_subprocess(N, dim, B_cell):
+    """One cell in its own OS process.
 
-    kwargs = dict(
-        tol=1e-5 if on_tpu else 1e-8,
-        acceptable_tol=5e-4 if on_tpu else 1e-6,
-        acceptable_iter=5,
-        # Gauss-Newton: on the bilinear family it cuts both the prepare-stage
-        # AD cost and the iteration count (see bench.py / STATUS.md)
-        hessian_approximation="gauss_newton",
-    )
+    A TPU-worker crash (observed: dim=16 cells at large B hard-kill the
+    worker with a runtime 'kernel fault' report even with every Pallas
+    kernel disabled — an XLA:TPU fault, not ours) poisons the whole client
+    process: every later device_put fails UNAVAILABLE. Per-cell processes
+    contain the blast radius, and the persistent compile cache keeps the
+    re-spawn cost at one cache lookup."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.abspath(__file__))
+
+    code = f"""
+import json, time, sys
+import numpy as np, jax
+sys.path.insert(0, {repo!r})
+from directtrajopt_tpu.utils.hostcache import host_cache_dir
+import os
+jax.config.update("jax_compilation_cache_dir", host_cache_dir(
+    os.path.join({repo!r}, ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+from directtrajopt_tpu.benchmarks import make_scaled_problem
+from directtrajopt_tpu.solvers.solve import solve_batch, solve_batch_compact
+dev = jax.devices()[0]
+on_tpu = dev.platform == "tpu"
+if not on_tpu:
+    jax.config.update("jax_enable_x64", True)
+kwargs = dict(tol=1e-5 if on_tpu else 1e-8, acceptable_tol=5e-4,
+              acceptable_iter=5, hessian_approximation="gauss_newton")
+if on_tpu:
+    kwargs.update(kappa_epsilon=100.0, kappa_mu=0.1)
+N, dim, B = {N}, {dim}, {B_cell}
+probs = [make_scaled_problem(N=N, state_dim=dim, seed=42 + i) for i in range(B)]
+batch = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *probs)
+def run_cell(b):
     if on_tpu:
-        # aggressive barrier schedule for the acceptable-band target, and the
-        # on-device compacting scheduler (128-lane chunks — see bench.py);
-        # phase budgets sum to the reference's 50-iteration sweep cap
-        kwargs.update(kappa_epsilon=100.0, kappa_mu=0.1)
+        return solve_batch_compact(b, phases=((20, None), (30, 1e-3)),
+                                   chunk=128, **kwargs)
+    return solve_batch(b, max_iter=50, **kwargs)
+t0 = time.time()
+res = run_cell(batch)
+np.asarray(res.kkt_error)
+compile_s = time.time() - t0
+t0 = time.time()
+res = run_cell(batch)
+np.asarray(res.kkt_error)
+wall = time.time() - t0
+print(json.dumps(dict(wall=wall, compile_s=compile_s,
+                      conv=int(np.asarray(res.converged).sum()))))
+"""
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=CELL_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    if r.returncode != 0:
+        tail = r.stderr.strip().splitlines()[-1:] or ["?"]
+        return None, tail[0][:120]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    return _json.loads(line), None
 
-    def run_cell(batch):
-        if on_tpu:
-            return solve_batch_compact(
-                batch, phases=((20, None), (30, 1e-3)), chunk=128, **kwargs
-            )
-        return solve_batch(batch, max_iter=50, **kwargs)
+
+def main():
+    import os
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 
     rows = []
-    for N in (25, 51, 101):
-        for dim in (4, 8, 16):
-            probs = [make_scaled_problem(N=N, state_dim=dim, seed=42 + i) for i in range(B)]
-            batch = jax.tree.map(lambda *xs: np.stack(xs), *probs)
-            batch = jax.tree.map(jax.numpy.asarray, batch)
-            t0 = time.time()
-            res = run_cell(batch)
-            np.asarray(res.kkt_error)  # real fetch: block_until_ready no-ops via axon
-            compile_s = time.time() - t0
-            t0 = time.time()
-            res = run_cell(batch)
-            np.asarray(res.kkt_error)  # real fetch: block_until_ready no-ops via axon
-            wall = time.time() - t0
-            conv = int(np.asarray(res.converged).sum())
-            per_solve = wall / B
-            ref = REFERENCE_IPOPT_S[(N, dim)]
-            rows.append(
-                (N, dim, per_solve, conv, B, ref, ref / per_solve, compile_s)
-            )
-            print(
-                f"N={N} dim={dim}: {per_solve*1000:.1f} ms/solve "
-                f"({conv}/{B} conv, ref Ipopt {ref}s, {ref/per_solve:.0f}x)",
-                file=sys.stderr,
-            )
+    # the reference grid, plus long-horizon rows (201/501 knots) showcasing
+    # the O(N) Riccati + chain-promotion path — the reference publishes no
+    # cells there (its sweep stops at N=101)
+    cells = [(N, dim) for N in (25, 51, 101) for dim in (4, 8, 16)]
+    cells += [(201, 4), (201, 8), (501, 4)]
+    for N, dim in cells:
+        B_cell = B if N <= 101 else max(32, B // (2 if N <= 201 else 4))
+        if dim >= 16:
+            # dim=16 at large B hard-crashes the TPU worker (see
+            # _run_cell_subprocess); scale with N to bound HBM
+            B_cell = min(B_cell, 128 if N <= 51 else 64)
+        out, err = _run_cell_subprocess(N, dim, B_cell)
+        ref = REFERENCE_IPOPT_S.get((N, dim))
+        if out is None:
+            print(f"N={N} dim={dim}: FAILED ({err})", file=sys.stderr)
+            rows.append((N, dim, None, 0, B_cell, ref, None, None))
+            continue
+        per_solve = out["wall"] / B_cell
+        conv = out["conv"]
+        spd = (ref / per_solve) if ref else None
+        rows.append(
+            (N, dim, per_solve, conv, B_cell, ref, spd, out["compile_s"])
+        )
+        print(
+            f"N={N} dim={dim}: {per_solve*1000:.1f} ms/solve "
+            f"({conv}/{B_cell} conv, ref Ipopt {ref}s, "
+            f"{f'{spd:.0f}x' if spd else 'n/a'})",
+            file=sys.stderr,
+        )
 
     print("| N | dim | ms/solve (batched) | conv | ref Ipopt s | speedup |")
     print("|--:|--:|--:|--:|--:|--:|")
     for N, dim, per, conv, B_, ref, spd, _ in rows:
+        per_s = f"{per*1000:.1f}" if per is not None else "crash"
         print(
-            f"| {N} | {dim} | {per*1000:.1f} | {conv}/{B_} | {ref} | {spd:.0f}x |"
+            f"| {N} | {dim} | {per_s} | {conv}/{B_} | "
+            f"{ref if ref else '—'} | {f'{spd:.0f}x' if spd else '—'} |"
         )
 
 

@@ -67,6 +67,11 @@ class IPMCallbacks:
     history_size: int = static_field(default=0)
     telemetry_size: int = static_field(default=0)
     score_fn: Callable | None = static_field(default=None)
+    # keep the K best-scoring iterates (reference best_rollout_fidelity
+    # retains the K best trajectories, `callbacks.jl:221-361`); 1 = classic
+    # single best (result.ipm.best_Z). K>1 adds (K,)/(K, z) rings exposed as
+    # result.ipm.topk_scores / topk_Z (unsorted; order by the scores).
+    score_top_k: int = static_field(default=1)
 
     def merged_with(self, other: "IPMCallbacks | None") -> "IPMCallbacks":
         if other is None:
@@ -79,6 +84,7 @@ class IPMCallbacks:
             history_size=max(self.history_size, other.history_size),
             telemetry_size=max(self.telemetry_size, other.telemetry_size),
             score_fn=self.score_fn or other.score_fn,
+            score_top_k=max(self.score_top_k, other.score_top_k),
         )
 
 
@@ -130,14 +136,15 @@ def fidelity_stop(
 
 
 def best_fidelity_tracker(
-    integrator, traj_template, goal, x_name: str | None = None
+    integrator, traj_template, goal, x_name: str | None = None, top_k: int = 1
 ) -> IPMCallbacks:
-    """Track the iterate with the best rolled-out fidelity
-    (`callbacks.jl` ``best_rollout_fidelity``)."""
+    """Track the iterate(s) with the best rolled-out fidelity
+    (`callbacks.jl` ``best_rollout_fidelity`` — which retains the K best
+    snapshots; pass ``top_k`` for the same behavior here)."""
     goal = jnp.asarray(goal)
 
     def score(Z):
         tr = traj_template.from_zvec(Z)
         return rollout_fidelity(integrator, tr, goal, x_name)
 
-    return IPMCallbacks(score_fn=score)
+    return IPMCallbacks(score_fn=score, score_top_k=top_k)

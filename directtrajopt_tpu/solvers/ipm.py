@@ -128,6 +128,11 @@ class IPMState(NamedTuple):
     lbfgs_n: jax.Array | None = None
     lbfgs_g_prev: jax.Array | None = None
     lbfgs_Z_prev: jax.Array | None = None
+    # previous iterate's objective (acceptable_obj_change_tol test)
+    obj_prev: jax.Array | None = None
+    # top-K best-score retention (callbacks.score_top_k > 1 only)
+    topk_scores: jax.Array | None = None
+    topk_Z: jax.Array | None = None
 
 
 class WarmStart(NamedTuple):
@@ -158,6 +163,9 @@ class IPMResult(NamedTuple):
     best_Z: jax.Array
     best_score: jax.Array
     history_stats: jax.Array  # (T, 8) telemetry ring, columns TELEMETRY_COLUMNS
+    # top-K best-score retention (None unless callbacks.score_top_k > 1)
+    topk_scores: jax.Array | None = None
+    topk_Z: jax.Array | None = None
 
 
 # column layout of IPMResult.history_stats (the on-device analog of the
@@ -397,6 +405,21 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         lbfgs_n=jnp.zeros((), jnp.int32) if lbfgs else None,
         lbfgs_g_prev=jnp.zeros((z_dim,), dtype=dtype) if lbfgs else None,
         lbfgs_Z_prev=Z_init if lbfgs else None,
+        obj_prev=jnp.asarray(jnp.inf, dtype=dtype),
+        topk_scores=(
+            jnp.full((callbacks.score_top_k,), -jnp.inf, dtype=dtype)
+            if callbacks is not None
+            and callbacks.score_fn is not None
+            and callbacks.score_top_k > 1
+            else None
+        ),
+        topk_Z=(
+            jnp.zeros((callbacks.score_top_k, z_dim), dtype=dtype)
+            if callbacks is not None
+            and callbacks.score_fn is not None
+            and callbacks.score_top_k > 1
+            else None
+        ),
     )
 
     s_max = jnp.asarray(100.0, dtype=dtype)
@@ -556,9 +579,20 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             & (comp0 <= opt.compl_inf_tol)
         )
         conv_now = (e_0 <= opt.tol) & unscaled_ok
-        acc_count = jnp.where(
-            e_0 <= opt.acceptable_tol, st.acc_count + 1, jnp.zeros((), jnp.int32)
+        # full acceptable_* family (Ipopt; reference options.jl:40-47):
+        # every component must clear its acceptable threshold to count
+        acc_ok = (
+            (e_0 <= opt.acceptable_tol)
+            & (inf_pr <= opt.acceptable_constr_viol_tol)
+            & (inf_du <= opt.acceptable_dual_inf_tol)
+            & (comp0 <= opt.acceptable_compl_inf_tol)
+            & (
+                jnp.abs(st.obj - st.obj_prev)
+                <= opt.acceptable_obj_change_tol
+                * jnp.maximum(1.0, jnp.abs(st.obj))
+            )
         )
+        acc_count = jnp.where(acc_ok, st.acc_count + 1, jnp.zeros((), jnp.int32))
         stop_now = conv_now | (acc_count >= options.acceptable_iter)
 
         # best-iterate retention: on degenerate problems the iterate can slide
@@ -1247,8 +1281,21 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             better = sc > st.best_score
             best_score = jnp.where(better, sc, st.best_score)
             best_Z = jnp.where(better, Z_new, st.best_Z)
+            if cb.score_top_k > 1:
+                # replace the worst retained snapshot when beaten
+                worst = jnp.argmin(st.topk_scores)
+                beat = sc > st.topk_scores[worst]
+                topk_scores = jnp.where(
+                    beat, st.topk_scores.at[worst].set(sc), st.topk_scores
+                )
+                topk_Z = jnp.where(
+                    beat, st.topk_Z.at[worst].set(Z_new), st.topk_Z
+                )
+            else:
+                topk_scores, topk_Z = st.topk_scores, st.topk_Z
         else:
             best_score, best_Z = st.best_score, st.best_Z
+            topk_scores, topk_Z = st.topk_scores, st.topk_Z
 
         return IPMState(
             Z=Z_new,
@@ -1300,6 +1347,9 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             if lbfgs
             else None,
             lbfgs_Z_prev=Z if lbfgs else None,
+            obj_prev=st.obj,
+            topk_scores=topk_scores,
+            topk_Z=topk_Z,
         )
 
     def cond(st: IPMState):
@@ -1350,4 +1400,6 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         best_Z=final.best_Z,
         best_score=final.best_score,
         history_stats=final.history_stats,
+        topk_scores=final.topk_scores,
+        topk_Z=final.topk_Z,
     )

@@ -31,6 +31,17 @@ class IPMOptions:
     compl_inf_tol: float = 1e-4
     acceptable_tol: float = 1e-6
     acceptable_iter: int = static_field(default=15)
+    # Full Ipopt acceptable_* family (reference options.jl:40-47): a point
+    # counts toward acceptable_iter only when EVERY component clears its
+    # acceptable threshold — scaled overall error ≤ acceptable_tol AND
+    # unscaled primal/dual/complementarity within the three knobs below AND
+    # the relative objective change between successive iterates within
+    # acceptable_obj_change_tol (1e20 = off, the Ipopt default; set ~1e-5
+    # to stop when progress stalls at acceptable quality).
+    acceptable_constr_viol_tol: float = 1e-2
+    acceptable_dual_inf_tol: float = 1e10
+    acceptable_compl_inf_tol: float = 1e-2
+    acceptable_obj_change_tol: float = 1e20
     # Diverging-iterates exit (Ipopt `diverging_iterates_tol`, reference
     # options.jl:51): a lane whose primal iterate or slack exceeds this
     # magnitude terminates with status 6 instead of burning the iteration

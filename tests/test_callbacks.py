@@ -98,3 +98,21 @@ def test_callbacks_in_batch():
     res = dtx.solve_batch(batch, callbacks=stop_iteration(4), max_iter=100,
                           tol=1e-30, acceptable_tol=1e-30)
     assert np.all(np.asarray(res.status) == 3)
+
+
+def test_top_k_snapshot_retention():
+    """score_top_k keeps the K best-scoring iterates (reference
+    best_rollout_fidelity retains K best snapshots, callbacks.jl:221-361)."""
+    from directtrajopt_tpu.solvers.callbacks import IPMCallbacks
+
+    prob, _, _ = make_prob()
+    cb = IPMCallbacks(score_fn=lambda Z: -jnp.sum(Z**2), score_top_k=3)
+    res = dtx.solve(prob, callbacks=cb, max_iter=60)
+    ks = np.asarray(res.ipm.topk_scores)
+    kz = np.asarray(res.ipm.topk_Z)
+    assert ks.shape == (3,) and kz.shape == (3, kz.shape[1])
+    assert np.isfinite(ks).any()
+    # the single-best tracker is one of the retained snapshots
+    assert np.isclose(ks.max(), float(res.ipm.best_score))
+    best_row = kz[int(np.argmax(ks))]
+    np.testing.assert_allclose(best_row, np.asarray(res.ipm.best_Z), atol=0)

@@ -152,3 +152,28 @@ def test_dead_knob_regression():
         and f"'{f.name}'" not in src
     ]
     assert not missing, f"IPMOptions fields never read by the solver: {missing}"
+
+
+def test_acceptable_family_granularity():
+    """The full acceptable_* family (reference options.jl:40-47): a lane
+    stops at acceptable level only when EVERY component clears its own
+    acceptable threshold."""
+    prob = _bilinear_problem()
+    # baseline: loose acceptable_tol + acceptable_iter=1 stops early
+    base = dtx.solve(prob, tol=1e-12, acceptable_tol=1e-4, acceptable_iter=1,
+                     max_iter=200)
+    assert int(base.status) == 1  # acceptable stop
+    # an absurdly tight acceptable complementarity blocks that early stop
+    res = dtx.solve(
+        prob, tol=1e-12, acceptable_tol=1e-4, acceptable_iter=1,
+        acceptable_compl_inf_tol=1e-30, max_iter=200,
+    )
+    assert int(res.status) != 1
+    assert int(res.iterations) > int(base.iterations)
+    # obj-change gate: requiring BOTH band quality and a stalled objective
+    # can only stop later (needs consecutive near-equal objectives)
+    res2 = dtx.solve(
+        prob, tol=1e-12, acceptable_tol=1e-4, acceptable_iter=1,
+        acceptable_obj_change_tol=1e-9, max_iter=200,
+    )
+    assert int(res2.iterations) >= int(base.iterations)
