@@ -11,6 +11,10 @@ are gauge freedom, see tests/test_golden.py):
 * ``f32_comp``  — f32 with compensated residual arithmetic
                   (options.compensated_residuals: error-free transforms on
                   the cancellation-limited measurements, no f64 emulation)
+* ``f32_refine``— f32 factorization + f64 residual refinement
+                  (options.refine_residuals) WITH the Pallas kernels on —
+                  composable since the r4 Mosaic x64 fix (the kernels must
+                  trace i64/f64-free under jax_enable_x64)
 * ``f64``       — full f64 solve from the same start (XLA-emulated on TPU;
                   the on-chip Ipopt-grade reference)
 * ``polished``  — f32 solve + warm-started f64 polish (solve_polished)
@@ -73,22 +77,24 @@ def main():
             return solve_jit(prob, **common)
         if mode == "f32_comp":
             return solve_jit(prob, compensated_residuals=True, **common)
+        if mode == "f32_refine":
+            return solve_jit(prob, refine_residuals=True, **common)
         if mode == "f64":
             return solve_jit(prob64, tol=1e-8, acceptable_tol=1e-8,
                              max_iter=300, mu_init=3e-2)
         return solve_polished(prob, **common)
 
-    for mode in ("f32", "f32_comp", "f64", "polished"):
+    for mode in ("f32", "f32_comp", "f32_refine", "f64", "polished"):
         t0 = time.time()
         res = run(mode)
-        res.kkt_error.block_until_ready()
+        kkt = float(res.kkt_error)  # real fetch (block_until_ready no-ops via axon)
         compile_s = time.time() - t0
         t0 = time.time()
         res = run(mode)
-        res.kkt_error.block_until_ready()
+        kkt = float(res.kkt_error)
         out = {
             "mode": mode,
-            "kkt_error": float(res.kkt_error),
+            "kkt_error": kkt,
             "iters": int(res.iterations),
             "converged": bool(res.converged),
             "rms_u": rms_u(res.ipm.Z),
