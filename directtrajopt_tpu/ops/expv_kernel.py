@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from directtrajopt_tpu.utils.jitcache import jit_cached
+
 __all__ = [
     "make_window_jac",
     "window_jac_eligible",
@@ -358,6 +360,16 @@ def _res_pallas(order, Gd, Gv, u, dt, x, xn, *, interpret=False):
     return jnp.transpose(out_t, (2, 0, 1))[:Bn]
 
 
+def _res_xla_vmapped(order, Gd, Gv, u, dt, x, xn):
+    return jax.vmap(functools.partial(_res_xla, order))(Gd, Gv, u, dt, x, xn)
+
+
+def _window_jac_xla_vmapped(order, free_time, Gd, Gv, u, dt, x):
+    return jax.vmap(functools.partial(_window_jac_xla, order, free_time))(
+        Gd, Gv, u, dt, x
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def make_residual_action(order: int, use_pallas: str = "auto"):
     """Two-level custom_vmap residual op: the line-search trial grid vmaps
@@ -373,14 +385,16 @@ def make_residual_action(order: int, use_pallas: str = "auto"):
         n_dr = Gv.shape[1]
         on_tpu = jax.default_backend() == "tpu"
         if use_pallas == "interpret":
-            return _res_pallas(order, Gd, Gv, u, dt, x, xn, interpret=True)
+            return jit_cached(_res_pallas, order, interpret=True)(
+                Gd, Gv, u, dt, x, xn
+            )
         if (
             use_pallas == "auto"
             and on_tpu
             and window_jac_eligible(K, xd, n_dr, x.dtype)
         ):
-            return _res_pallas(order, Gd, Gv, u, dt, x, xn)
-        return jax.vmap(functools.partial(_res_xla, order))(Gd, Gv, u, dt, x, xn)
+            return jit_cached(_res_pallas, order)(Gd, Gv, u, dt, x, xn)
+        return jit_cached(_res_xla_vmapped, order)(Gd, Gv, u, dt, x, xn)
 
     @custom_vmap
     def res_batched(Gd, Gv, u, dt, x, xn):
@@ -427,17 +441,17 @@ def make_window_jac(order: int, free_time: bool, use_pallas: str = "auto"):
         n_dr = Gv.shape[1]
         on_tpu = jax.default_backend() == "tpu"
         if use_pallas == "interpret":
-            out = _window_jac_pallas(order, free_time, *args, interpret=True)
+            out = jit_cached(
+                _window_jac_pallas, order, free_time, interpret=True
+            )(*args)
         elif (
             use_pallas == "auto"
             and on_tpu
             and window_jac_eligible(K, xd, n_dr, x.dtype)
         ):
-            out = _window_jac_pallas(order, free_time, *args)
+            out = jit_cached(_window_jac_pallas, order, free_time)(*args)
         else:
-            out = jax.vmap(
-                functools.partial(_window_jac_xla, order, free_time)
-            )(*args)
+            out = jit_cached(_window_jac_xla_vmapped, order, free_time)(*args)
         return out, True
 
     return window_jac

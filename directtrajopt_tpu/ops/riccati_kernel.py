@@ -40,6 +40,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from directtrajopt_tpu.utils.jitcache import jit_cached
+
 __all__ = ["make_factor_solve", "make_resolve", "pallas_eligible"]
 
 _TINY = 1e-30
@@ -769,6 +771,26 @@ def _bcast(x, batched, axis_size):
     return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
 
 
+def _factor_solve_pallas_k(s0m_key, *args, interpret=False):
+    s0m = np.asarray(s0m_key, dtype=np.float64)
+    return _factor_solve_pallas(s0m, *args, interpret=interpret)
+
+
+def _factor_solve_xla_vm(s0m_key, *args):
+    s0m = np.asarray(s0m_key, dtype=np.float64)
+    return jax.vmap(functools.partial(_factor_solve_xla, s0m))(*args)
+
+
+def _resolve_pallas_k(s0m_key, *args, interpret=False):
+    s0m = np.asarray(s0m_key, dtype=np.float64)
+    return _resolve_pallas(s0m, *args, interpret=interpret)
+
+
+def _resolve_xla_vm(s0m_key, *args):
+    s0m = np.asarray(s0m_key, dtype=np.float64)
+    return jax.vmap(functools.partial(_resolve_xla, s0m))(*args)
+
+
 @functools.lru_cache(maxsize=None)
 def make_factor_solve(s0m_key: tuple, use_pallas: str = "auto"):
     """Build the (cached) custom_vmap'd fused factor+solve for a structure.
@@ -795,15 +817,17 @@ def make_factor_solve(s0m_key: tuple, use_pallas: str = "auto"):
         R = args[5].shape[1]
         on_tpu = jax.default_backend() == "tpu"
         if use_pallas == "interpret":
-            out = _factor_solve_pallas(s0m, *args, interpret=True)
+            out = jit_cached(_factor_solve_pallas_k, s0m_key, interpret=True)(
+                *args
+            )
         elif (
             use_pallas == "auto"
             and on_tpu
             and pallas_eligible(N, ns, nv, R, args[0].dtype)
         ):
-            out = _factor_solve_pallas(s0m, *args)
+            out = jit_cached(_factor_solve_pallas_k, s0m_key)(*args)
         else:
-            out = jax.vmap(functools.partial(_factor_solve_xla, s0m))(*args)
+            out = jit_cached(_factor_solve_xla_vm, s0m_key)(*args)
         return out, tuple(True for _ in out)
 
     return factor_solve
@@ -828,15 +852,15 @@ def make_resolve(s0m_key: tuple, use_pallas: str = "auto"):
         R = args[7].shape[1]
         on_tpu = jax.default_backend() == "tpu"
         if use_pallas == "interpret":
-            out = _resolve_pallas(s0m, *args, interpret=True)
+            out = jit_cached(_resolve_pallas_k, s0m_key, interpret=True)(*args)
         elif (
             use_pallas == "auto"
             and on_tpu
             and pallas_eligible(N, ns, nv, R, args[0].dtype)
         ):
-            out = _resolve_pallas(s0m, *args)
+            out = jit_cached(_resolve_pallas_k, s0m_key)(*args)
         else:
-            out = jax.vmap(functools.partial(_resolve_xla, s0m))(*args)
+            out = jit_cached(_resolve_xla_vm, s0m_key)(*args)
         return out, tuple(True for _ in out)
 
     return resolve
