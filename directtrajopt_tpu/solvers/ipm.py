@@ -332,7 +332,11 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
     # gives λ₀ = argmin-ish ‖∇f + Jᵀλ‖, so the first Lagrangian Hessian is
     # built from meaningful curvature instead of λ=0
     gn = options.hessian_approximation == "gauss_newton"
-    sw = options.hessian_regularization == "stagewise"
+    sw = (
+        options.hessian_regularization
+        if options.hessian_regularization in ("stagewise", "project", "flip")
+        else False
+    )
     lbfgs = options.hessian_approximation == "lbfgs"
     m_l = options.limited_memory_max_history if lbfgs else 0
     lam0 = jnp.zeros((n_eq,), dtype=dtype)

@@ -156,6 +156,34 @@ def _stage_min_shift(Q, n_iter: int = 12, margin_rel: float = 1e-5):
     return jnp.maximum(0.0, -ray + margin_rel * c)
 
 
+def _stage_project(Q, mode: str, eps_rel: float = 1e-6):
+    """Per-stage spectral modification of the full stage blocks (N, d, d).
+
+    Unlike the Levenberg shift (`_stage_min_shift`, which raises EVERY
+    eigenvalue of an indefinite stage by −λ_min and thus damps the
+    positive-curvature directions too), this eigendecomposes each stage
+    block and modifies only the offending eigenvalues:
+
+    * ``"project"`` — λ → max(λ, ε)  (classic PSD convexification,
+      Nocedal–Wright §3.4 eigenvalue modification)
+    * ``"flip"``    — λ → max(|λ|, ε)  (saddle-free-Newton style: negative
+      directions keep their magnitude but point downhill)
+
+    ε = eps_rel · max_k λ_max(Q_k) keeps the modified block invertible on a
+    common scale. Batched eigh on (N, d, d) — QR-iteration-slow on TPU, so
+    this is the opt-in exact-mode quality knob, not the GN throughput path.
+    The δ_w inertia ladder remains the certified backstop downstream.
+    """
+    Qs = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))
+    lam, V = jnp.linalg.eigh(Qs)
+    eps = eps_rel * jnp.maximum(jnp.max(jnp.abs(lam)), 1e-30)
+    lam_m = (
+        jnp.maximum(jnp.abs(lam), eps) if mode == "flip"
+        else jnp.maximum(lam, eps)
+    )
+    return jnp.einsum("...ij,...j,...kj->...ik", V, lam_m, V)
+
+
 @dataclass
 class OCPStructure:
     """Static structure of an explicit OCP (built once at trace time)."""
@@ -569,7 +597,9 @@ class _RiccatiCtx:
         # per-stage λ_min shift and engages it inside the retry ladder (only
         # after the δ-floor probe fails), so well-conditioned problems keep
         # the undamped Newton step
-        self.stagewise = stagewise and not gauss_newton
+        # mode string ("stagewise" | "project" | "flip") or False; keep the
+        # string (`x and not gn` would collapse it to a bool)
+        self.stagewise = False if gauss_newton else stagewise
 
         # ---- arrowhead Hessian blocks: ∂²L/∂z∂g and ∂²L/∂g² --------------- #
         if n_g:
@@ -999,11 +1029,6 @@ class _RiccatiCtx:
             dtype=dtype,
         )
 
-        # ---- stage blocks (after the curvature shift) --------------------- #
-        Qss = Q[:, s_ix[:, None], s_ix[None, :]]
-        Qsv = Q[:, s_ix[:, None], v_ix[None, :]]
-        Qvv = Q[:, v_ix[:, None], v_ix[None, :]]
-
         # hessian_regularization == "stagewise": per-stage λ_min shift on
         # every factorization. NOT gated on the retry ladder: the bilinear
         # family's pathology is nearly-singular-but-POSITIVE curvature — the
@@ -1013,10 +1038,20 @@ class _RiccatiCtx:
         # early indefinite stages still carry correct KKT inertia the shift
         # damps productive Newton steps (cartpole 9 → 41 iterations) — which
         # is why this is an opt-in mode, not the default.
-        if getattr(self, "stagewise", False):
+        sw_mode = getattr(self, "stagewise", False)
+        sw_shift = None
+        if sw_mode in ("project", "flip"):
+            # spectral modification of the full stage blocks (δ_w-independent
+            # — do it once, outside the retry ladder), BEFORE slicing the
+            # (s, v) sub-blocks so the factorization sees the modified Q
+            Q = _stage_project(Q, sw_mode)
+        elif sw_mode:  # "stagewise" (or legacy True)
             sw_shift = _stage_min_shift(Q)
-        else:
-            sw_shift = None
+
+        # ---- stage blocks (after the curvature shift) --------------------- #
+        Qss = Q[:, s_ix[:, None], s_ix[None, :]]
+        Qsv = Q[:, s_ix[:, None], v_ix[None, :]]
+        Qvv = Q[:, v_ix[:, None], v_ix[None, :]]
 
         eye_v = jnp.eye(n_v, dtype=dtype)
         eye_s = jnp.eye(n_s, dtype=dtype)

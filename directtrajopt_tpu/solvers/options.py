@@ -126,18 +126,25 @@ class IPMOptions:
     # valley no longer requires damping every stage's Newton step; the δ_w
     # ladder stays as the certified backstop. Riccati backend only (the
     # dense path has no stage blocks — silently ignored there).
+    # "project": per-stage spectral clip λ → max(λ, ε) (Nocedal–Wright §3.4
+    # eigenvalue modification; batched eigh per stage, so costlier per
+    # factorization than the shift but identity on PD stages). "flip":
+    # λ → max(|λ|, ε) (saddle-free-Newton style).
     # Measured on the N=51 free-time bilinear family (B=32, CPU f32,
-    # tol=1e-6, exact): median iterations 110 ("inertia") → 54-58
-    # ("stagewise") at identical 32/32 convergence — half the exact-mode
-    # gap to Gauss-Newton's 20 (GN stays the right choice for this
-    # least-squares-like family; stagewise needs no GN structural
-    # assumption). NOT the default and not auto-engaged: on problems whose
-    # early indefinite stages still carry correct KKT inertia the shift
-    # damps productive Newton steps (cartpole: 9 → 41 iterations), and no
-    # per-factorization signal separates that regime from the
-    # nearly-singular-but-positive one this mode fixes (a ladder-failure
-    # gate measured 113 ≈ baseline on the bilinear family — the floored
-    # probe certifies fine there).
+    # tol=1e-6, exact, med/p90/max): 94/112/173 ("inertia") → 85/106/141
+    # ("stagewise") → 22/35/60 ("project") / 24/36/56 ("flip") at identical
+    # 32/32 convergence and agreeing optima — "project" closes the gap to
+    # Gauss-Newton's ~16-20 to ~1.3× WITHOUT GN's structural assumption.
+    # Why: the Levenberg shift raises every eigenvalue of an indefinite
+    # stage by −λ̂_min, damping its positive-curvature directions too; the
+    # clip modifies only the offending eigenvalues. On the benign regime the
+    # asymmetry repeats: cartpole "stagewise" 9 → 41 iterations (always-on
+    # shift damps productive Newton steps) but "project" only 9 → 11 (the
+    # clip is identity on PD stages, the +2 is the ε floor on its
+    # near-singular stages). Still opt-in: the eigh costs real time per
+    # iteration on TPU (QR iterations, no MXU) and "inertia" matches Ipopt's
+    # published behavior; "project" is the recommended knob when an exact-
+    # mode solve shows a 3×+ iteration gap vs gauss_newton.
     hessian_regularization: str = static_field(default="inertia")
     # Mixed-precision residual refinement (static: changes the traced graph).
     # When the solve dtype is f32, evaluate the cancellation-limited

@@ -446,3 +446,45 @@ def test_stagewise_hessian_regularization():
     )
     u_s = np.asarray(jax.vmap(lambda t: t.data["u"])(sw.problem.trajectory))
     np.testing.assert_allclose(u_b, u_s, atol=5e-4)
+
+
+def test_project_hessian_regularization():
+    """hessian_regularization="project" (per-stage spectral clip): must
+    reach the same optimum as the δ_w ladder with a LARGE iteration cut on
+    the degenerate free-time bilinear family (measured med 94 → 22 at B=32,
+    f32 tol=1e-6 — vs 85 for the λ_min shift), and must NOT blow up the
+    benign-indefinite regime that the shift damages (cartpole 9 → 41 under
+    "stagewise", but only 9 → 11 under "project")."""
+    from directtrajopt_tpu.benchmarks import (
+        make_batched_bilinear_problems,
+        make_cartpole_problem,
+    )
+
+    batch = make_batched_bilinear_problems(4, N=31, feasible_start=True)
+    batch32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        batch,
+    )
+    kw = dict(tol=1e-6, max_iter=300, hessian_approximation="exact")
+    base = dtx.solve_batch(batch32, hessian_regularization="inertia", **kw)
+    pr = dtx.solve_batch(batch32, hessian_regularization="project", **kw)
+    assert np.asarray(base.converged).all() and np.asarray(pr.converged).all()
+    it_b = np.asarray(base.iterations)
+    it_p = np.asarray(pr.iterations)
+    # stronger than the stagewise bar: projection at least halves the total
+    assert it_p.sum() < 0.6 * it_b.sum(), (it_p, it_b)
+    u_b = np.asarray(jax.vmap(lambda t: t.data["u"])(base.problem.trajectory))
+    u_p = np.asarray(jax.vmap(lambda t: t.data["u"])(pr.problem.trajectory))
+    np.testing.assert_allclose(u_b, u_p, atol=5e-4)
+
+    # benign regime: within 2x of the undamped Newton iteration count
+    cp = make_cartpole_problem(N=40, seed=1)
+    r_in = dtx.solve(cp, hessian_regularization="inertia", max_iter=200)
+    r_pr = dtx.solve(cp, hessian_regularization="project", max_iter=200)
+    assert r_in.converged and r_pr.converged
+    assert int(r_pr.iterations) <= 2 * int(r_in.iterations), (
+        int(r_pr.iterations),
+        int(r_in.iterations),
+    )

@@ -81,6 +81,9 @@ def main():
         "dwmu1": dict(delta_w_mu_scale=1.0),
         "dwmu10": dict(delta_w_mu_scale=10.0),
         "dwmin1e-5+cap30": dict(delta_w_min=1e-5, theta_growth_cap=30.0),
+        "sw": dict(hessian_regularization="stagewise"),
+        "proj": dict(hessian_regularization="project"),
+        "flip": dict(hessian_regularization="flip"),
         "gn": dict(hessian_approximation="gauss_newton"),
         "gn+dwmu0": dict(hessian_approximation="gauss_newton", delta_w_mu_scale=0.0),
     }
