@@ -125,9 +125,10 @@ def main():
         rows.append(
             (N, dim, per_solve, conv, B_cell, ref, spd, out["compile_s"])
         )
+        ref_s = f"ref Ipopt {ref}s" if ref else "no ref cell"
         print(
             f"N={N} dim={dim}: {per_solve*1000:.1f} ms/solve "
-            f"({conv}/{B_cell} conv, ref Ipopt {ref}s, "
+            f"({conv}/{B_cell} conv, {ref_s}, "
             f"{f'{spd:.0f}x' if spd else 'n/a'})",
             file=sys.stderr,
         )
