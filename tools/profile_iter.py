@@ -9,8 +9,11 @@ self-reliant op-category summary (no TensorBoard needed).
 import glob
 import gzip
 import json
+import os
 import sys
 from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -22,13 +25,23 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    batch = make_batched_bilinear_problems(B, N=51, feasible_start=True)
+    bench_mode = "bench" in sys.argv[2:]
+    batch = make_batched_bilinear_problems(
+        B, N=51, feasible_start=True, taylor_order=6 if bench_mode else 12
+    )
     kw = dict(
         max_iter=20,
         tol=1e-5,
         acceptable_tol=5e-4,
         hessian_approximation="gauss_newton",
     )
+    if bench_mode:
+        # mirror bench.py's TPU schedule so the profile reflects the
+        # headline path (SOC/restoration off, trimmed grid, aggressive μ)
+        kw.update(
+            acceptable_iter=1, kappa_epsilon=100.0, kappa_mu=0.1,
+            mu_init=3e-2, max_ls=7, n_rest_trials=0, max_soc=0,
+        )
     # warm up / compile outside the trace
     res = solve_batch(batch, **kw)
     jax.block_until_ready(res.ipm.Z)
