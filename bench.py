@@ -129,6 +129,15 @@ def main():
         # absorbs them). Keep SOC on for strict-tolerance or
         # harder-constrained runs.
         sched.update(max_ls=7, n_rest_trials=0, max_soc=0)
+        # constant δ_w floor at the family's gauge-valley curvature scale
+        # (~1e-4..1e-3): the μ-scaled floor decays below it as μ plunges, so
+        # per-lane inertia retries fire every ~3rd iteration — and in a
+        # lockstep batch SOME lane always retries, costing a full extra
+        # factor sweep nearly every batched iteration (profiled 2.05
+        # sweeps/accepted at B=512). A 1e-3 floor kills the retries AND
+        # improves the proximal damping: CPU-f32 proxy (B=64) med/p90/max
+        # 17/25/33 → 11/12/16 at 64/64 conv, identical acceptable-band KKT.
+        sched.update(delta_w_min=1e-3, delta_w_decay=1.0)
 
     batch = make_batched_bilinear_problems(
         BATCH, N=N, feasible_start=True, taylor_order=TAYLOR

@@ -52,14 +52,15 @@ def _reg_retry(factor, delta_last, opt, dtype):
         opt.delta_w_min,
         jnp.where(
             delta_last > 0,
-            jnp.maximum(opt.delta_w_init, delta_last / 3.0),
+            jnp.maximum(opt.delta_w_init, delta_last / opt.delta_w_decay),
             jnp.zeros((), dtype=dtype),
         ),
     )
     first = factor(delta0)
     first_bump = jnp.where(
         delta_last > 0,
-        jnp.maximum(opt.delta_w_init, delta_last / 3.0) * opt.delta_w_factor,
+        jnp.maximum(opt.delta_w_init, delta_last / opt.delta_w_decay)
+        * opt.delta_w_factor,
         opt.delta_w_init * 100.0,
     )
 
@@ -84,7 +85,9 @@ def _reg_retry(factor, delta_last, opt, dtype):
     # 2.15 factor sweeps per accepted one on the TPU bench config (each
     # probe is a FULL Riccati sweep here, unlike Ipopt's cheap LBLᵀ retry).
     delta = out[0]
-    delta_carry = jnp.where(delta > delta0, 3.0 * delta, delta)
+    delta_carry = jnp.where(
+        delta > delta0, opt.delta_w_decay * delta, delta
+    )
     return (out[0], delta_carry) + out[1:]
 
 

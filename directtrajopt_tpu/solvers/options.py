@@ -214,6 +214,20 @@ class IPMOptions:
     delta_w_init: float = 1e-8
     delta_w_max: float = 1e10
     delta_w_factor: float = 8.0  # κ_w⁺ (Ipopt); first-ever bump uses ×100
+    # κ_w⁻ (Ipopt's 1/3): the next iteration's first factorization probes at
+    # δ_last/delta_w_decay. 1.0 = hold δ (probe exactly where the last
+    # iteration succeeded). For LOCKSTEP BATCHES the decay is a tax: a probe
+    # that fails refactors the whole chunk, and with hundreds of
+    # μ-desynchronized lanes some lane fails its decayed probe nearly every
+    # batched iteration (profiled 2.05 factor sweeps per accepted iteration
+    # at B=512 under the ÷3 decay; the δ-carry fix cut it to 1.8, holding
+    # cuts it to ~1). Per-lane solves keep the Ipopt default. CAUTION:
+    # holding is only safe where over-damping is cheap (short
+    # acceptable-band solves like the benchmark schedule) — on a problem
+    # whose early iterations legitimately need a LARGE δ that must then
+    # decay away, holding freezes it and cripples the Newton rate (cartpole
+    # with an artificially raised floor: 9 → 617 iterations at decay=1.0).
+    delta_w_decay: float = 3.0
     delta_c: float = 1e-8
     # Unconditional proximal (Levenberg-style) floor on δ_w: the inertia
     # test cannot see *nearly*-singular curvature, so on problems with

@@ -41,6 +41,7 @@ def main():
         kw.update(
             acceptable_iter=1, kappa_epsilon=100.0, kappa_mu=0.1,
             mu_init=3e-2, max_ls=7, n_rest_trials=0, max_soc=0,
+            delta_w_min=1e-3, delta_w_decay=1.0,
         )
     # warm up / compile outside the trace
     res = solve_batch(batch, **kw)
