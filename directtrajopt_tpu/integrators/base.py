@@ -58,6 +58,22 @@ def stack_residuals(integrator, layout: Layout, zmat: jax.Array) -> jax.Array:
     return jax.vmap(lambda w, k: integrator.residual(layout, w, k))(W, ks)
 
 
+def stack_residuals_l1(integrator, layout: Layout, zmat: jax.Array):
+    """``Σ|residual|`` over all windows — scalar.
+
+    Routes through the integrator's lane-space reduction op when available
+    (bilinear `residuals_l1_stacked`: the reduce happens before the batched
+    trial tensor leaves lane layout); otherwise reduces the generic stack."""
+    import os
+
+    custom = getattr(integrator, "residuals_l1_stacked", None)
+    if custom is not None and os.environ.get("DTX_RES_KERNEL", "1") != "0":
+        out = custom(layout, zmat)
+        if out is not None:
+            return out
+    return jnp.sum(jnp.abs(stack_residuals(integrator, layout, zmat)))
+
+
 def stack_jacobians(integrator, layout: Layout, zmat: jax.Array) -> jax.Array:
     """Per-window residual Jacobians: ``(N-1, x_dim, 2*dim)``."""
     W = windows(zmat)

@@ -370,6 +370,24 @@ def _window_jac_xla_vmapped(order, free_time, Gd, Gv, u, dt, x):
     )
 
 
+def _res_batch_impl(order, use_pallas, Gd, Gv, u, dt, x, xn):
+    """Batched (lane-axis-leading) residual stack, kernel-routed."""
+    _, K, xd = x.shape
+    n_dr = Gv.shape[1]
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas == "interpret":
+        return jit_cached(_res_pallas, order, interpret=True)(
+            Gd, Gv, u, dt, x, xn
+        )
+    if (
+        use_pallas == "auto"
+        and on_tpu
+        and window_jac_eligible(K, xd, n_dr, x.dtype)
+    ):
+        return jit_cached(_res_pallas, order)(Gd, Gv, u, dt, x, xn)
+    return jit_cached(_res_xla_vmapped, order)(Gd, Gv, u, dt, x, xn)
+
+
 @functools.lru_cache(maxsize=None)
 def make_residual_action(order: int, use_pallas: str = "auto"):
     """Two-level custom_vmap residual op: the line-search trial grid vmaps
@@ -380,31 +398,15 @@ def make_residual_action(order: int, use_pallas: str = "auto"):
     """
     from jax.custom_batching import custom_vmap
 
-    def _batch_impl(Gd, Gv, u, dt, x, xn):
-        _, K, xd = x.shape
-        n_dr = Gv.shape[1]
-        on_tpu = jax.default_backend() == "tpu"
-        if use_pallas == "interpret":
-            return jit_cached(_res_pallas, order, interpret=True)(
-                Gd, Gv, u, dt, x, xn
-            )
-        if (
-            use_pallas == "auto"
-            and on_tpu
-            and window_jac_eligible(K, xd, n_dr, x.dtype)
-        ):
-            return jit_cached(_res_pallas, order)(Gd, Gv, u, dt, x, xn)
-        return jit_cached(_res_xla_vmapped, order)(Gd, Gv, u, dt, x, xn)
-
     @custom_vmap
     def res_batched(Gd, Gv, u, dt, x, xn):
-        return _batch_impl(Gd, Gv, u, dt, x, xn)
+        return _res_batch_impl(order, use_pallas, Gd, Gv, u, dt, x, xn)
 
     @res_batched.def_vmap
     def _rule_b(axis_size, in_batched, *args):
         args = [_bcast(a, bt, axis_size) for a, bt in zip(args, in_batched)]
         flat = [a.reshape((-1,) + a.shape[2:]) for a in args]
-        out = _batch_impl(*flat)
+        out = _res_batch_impl(order, use_pallas, *flat)
         return out.reshape((axis_size, -1) + out.shape[1:]), True
 
     @custom_vmap
@@ -417,6 +419,44 @@ def make_residual_action(order: int, use_pallas: str = "auto"):
         return res_batched(*args), True
 
     return residual_action
+
+
+@functools.lru_cache(maxsize=None)
+def make_residual_l1(order: int, use_pallas: str = "auto"):
+    """Two-level custom_vmap ``Σ|residual|`` op (the line-search θ term).
+
+    Same lane routing as :func:`make_residual_action`, but the |·| sum over
+    the (K, xd) window axes happens INSIDE the batched rule, while the
+    kernel output is still in its native lanes-minor layout. Materializing
+    the full (n_trials, n_eq) residual tensor just to reduce it forced a
+    B-major relayout downstream — profiled at ~105 µs/iteration of pure
+    reshape/copy at B=512 (reshape.1249/copy.887 in the bench trace).
+    Unbatched signature: ``fn(Gd, Gv, u, dt, x, xn) -> scalar``."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def res_l1_batched(Gd, Gv, u, dt, x, xn):
+        out = _res_batch_impl(order, use_pallas, Gd, Gv, u, dt, x, xn)
+        return jnp.sum(jnp.abs(out), axis=(-2, -1))
+
+    @res_l1_batched.def_vmap
+    def _rule_b(axis_size, in_batched, *args):
+        args = [_bcast(a, bt, axis_size) for a, bt in zip(args, in_batched)]
+        flat = [a.reshape((-1,) + a.shape[2:]) for a in args]
+        out = _res_batch_impl(order, use_pallas, *flat)
+        l1 = jnp.sum(jnp.abs(out), axis=(-2, -1))  # (lanes,) — lane layout
+        return l1.reshape((axis_size, -1)), True
+
+    @custom_vmap
+    def residual_l1(Gd, Gv, u, dt, x, xn):
+        return jnp.sum(jnp.abs(_res_xla(order, Gd, Gv, u, dt, x, xn)))
+
+    @residual_l1.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [_bcast(a, bt, axis_size) for a, bt in zip(args, in_batched)]
+        return res_l1_batched(*args), True
+
+    return residual_l1
 
 
 @functools.lru_cache(maxsize=None)

@@ -149,6 +149,28 @@ class CanonicalNLP:
             parts.append(self.nl_eq(Z))
         return jnp.concatenate(parts) if parts else jnp.zeros((0,), dtype=Z.dtype)
 
+    def c_eq_l1(self, Z: jax.Array) -> jax.Array:
+        """``Σ|c_eq(Z)|`` without materializing the residual vector.
+
+        The dynamics part reduces in lane space when the integrator provides
+        a fused ``Σ|residual|`` op (`integrators/base.stack_residuals_l1`) —
+        the line-search θ consumer; materializing per-trial residual vectors
+        forced the batched trial tensor into B-major layout (~105 µs/iter of
+        relayout at B=512, see `ops/expv_kernel.make_residual_l1`)."""
+        from ..integrators.base import stack_residuals_l1
+
+        zmat = Z[: self.layout.N * self.layout.dim].reshape(
+            self.layout.N, self.layout.dim
+        )
+        tot = jnp.zeros((), dtype=Z.dtype)
+        for integ in self.integrators:
+            tot = tot + stack_residuals_l1(integ, self.layout, zmat)
+        if self.n_lin_eq:
+            tot = tot + jnp.sum(jnp.abs(self.A_eq.matvec(Z) - self.b_eq))
+        if self.n_nl_eq:
+            tot = tot + jnp.sum(jnp.abs(self.nl_eq(Z)))
+        return tot
+
     def c_in(self, Z: jax.Array) -> jax.Array:
         parts = []
         if self.n_lin_in:

@@ -720,7 +720,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             if n_in:
                 g_aff = g_aff + ctx.JiT(D * (c_i + s))
             g_aff = free * g_aff
-            dZ_a, _, ok, (delta_fin, delta_carry), resolve = ctx.kkt_step(
+            dZ_a, _, ok, delta_fin, resolve = ctx.kkt_step(
                 Sig, D, g_aff, -c_e, st.delta_w_last, opt_k
             )
             if n_in:
@@ -781,7 +781,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             dZ, lam_plus = resolve(-g_hat, -c_e)
         else:
             g_hat = build_g_hat(mu)
-            dZ, lam_plus, ok, (delta_fin, delta_carry), resolve = ctx.kkt_step(
+            dZ, lam_plus, ok, delta_fin, resolve = ctx.kkt_step(
                 Sig, D, g_hat, -c_e, st.delta_w_last, opt_k
             )
         if hi:
@@ -885,10 +885,12 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             tolerance note as the Z_new/Zt remark at the carry site."""
             Zt = nlp.apply_pins(Z + alpha * dZ_)
             st_ = s + alpha * ds_
-            c_e_t = nlp.c_eq(Zt)
             c_i_t = nlp.c_in(Zt)
             f_t = nlp.objective(Zt)
-            phi_t, theta_t = barrier_phi_from(f_t, Zt, st_, mu, c_e_t, c_i_t)
+            # θ via the fused Σ|c_eq| path (lane-space reduction in the
+            # kernel rule) — the residual vector itself is never built
+            theta_t = nlp.c_eq_l1(Zt) + jnp.sum(jnp.abs(c_i_t + st_))
+            phi_t = f_t - mu * _bar(Zt, st_)
             return phi_t, theta_t, f_t
 
         # first trial at the full step; its residuals are shared with the SOC
@@ -1327,10 +1329,7 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             filter_ph=filter_ph,
             filter_n=filter_n,
             phi_hist=phi_hist,
-            # delta_carry (not delta_fin): 3δ when the ladder retried, so the
-            # next probe (carry/3) lands on the succeeding δ instead of
-            # re-failing below it (ops_dense._reg_retry)
-            delta_w_last=jnp.where(delta_carry > 0, delta_carry, st.delta_w_last),
+            delta_w_last=jnp.where(delta_fin > 0, delta_fin, st.delta_w_last),
             stall_count=stall_count,
             infeasible=infeasible,
             rest_failed=rest_failed,

@@ -6,7 +6,7 @@ KKT linear algebra is swappable:
     ctx = ops.prepare(Z, lam, nu)     # evaluate residuals + derivatives at Z
     ctx.c_e, ctx.c_i, ctx.grad_f      # residual vectors / objective gradient
     ctx.JeT(v), ctx.JiT(v), ctx.Ji(v) # Jacobian (transpose) products
-    dZ, lam+, ok, (delta, delta_carry), resolve = ctx.kkt_step(...)  # factor+solve
+    dZ, lam+, ok, delta, resolve = ctx.kkt_step(...)  # factor+solve with
                                       # inertia-regularization retry; `resolve`
                                       # reuses the factorization (for SOC)
 
@@ -74,21 +74,14 @@ def _reg_retry(factor, delta_last, opt, dtype):
         new_delta = jnp.where(delta == 0.0, first_bump, delta * opt.delta_w_factor)
         return (new_delta,) + factor(new_delta)
 
+    # (A "carry 3δ so the next probe lands on the δ that just succeeded"
+    # variant was measured and REVERTED: it cut batched retry sweeps
+    # 2.15 → 1.8 on the TPU bench, but systematically over-regularizes
+    # single-lane exact solves — the N=21 free-time golden went 35 → 78
+    # iterations. The batched thrash is solved without it by
+    # delta_w_decay=1.0 + a constant delta_w_min floor, bench.py.)
     init = (delta0,) + first
-    out = jax.lax.while_loop(cond, body, init)
-    # δ carry for the NEXT iteration's probe (stored as delta_w_last; the
-    # probe there is carry/3). A clean first attempt carries δ itself →
-    # probe decays ÷3 as before. A retried attempt carries 3δ → the next
-    # probe lands exactly on the δ that just succeeded. Without this the
-    # ladder thrashes on families whose needed δ is ~constant while the
-    # μ-scaled floor decays: probe at δ/3, fail, climb ×8 — profiled at
-    # 2.15 factor sweeps per accepted one on the TPU bench config (each
-    # probe is a FULL Riccati sweep here, unlike Ipopt's cheap LBLᵀ retry).
-    delta = out[0]
-    delta_carry = jnp.where(
-        delta > delta0, opt.delta_w_decay * delta, delta
-    )
-    return (out[0], delta_carry) + out[1:]
+    return jax.lax.while_loop(cond, body, init)
 
 
 class _DenseCtx:
@@ -162,7 +155,7 @@ class _DenseCtx:
             L = jnp.where(jnp.isfinite(L), L, jnp.eye(z_dim, dtype=dtype))
             return (L, ok)
 
-        delta, delta_carry, L, ok = _reg_retry(factor, delta_last, opt, dtype)
+        delta, L, ok = _reg_retry(factor, delta_last, opt, dtype)
         Hm = Hbase + delta * jnp.diag(f)
 
         def chol_solve(r):
@@ -202,7 +195,7 @@ class _DenseCtx:
 
         dZ, lam_plus = resolve(-g_hat, rhs_c)
         ok = ok & jnp.all(jnp.isfinite(dZ)) & jnp.all(jnp.isfinite(lam_plus))
-        return dZ, lam_plus, ok, (delta, delta_carry), resolve
+        return dZ, lam_plus, ok, delta, resolve
 
 
 class DenseOps:

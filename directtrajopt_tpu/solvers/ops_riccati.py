@@ -1174,7 +1174,6 @@ class _RiccatiCtx:
 
         (
             delta,
-            delta_carry,
             P_all,
             Lv_all,
             Kg_all,
@@ -1404,7 +1403,7 @@ class _RiccatiCtx:
         dZ = jnp.concatenate([dz.reshape(-1), dg])
         lam_plus = pack_lam(lam_stack, lam_c)
         ok = ok & ok_s & jnp.all(jnp.isfinite(dZ)) & jnp.all(jnp.isfinite(lam_plus))
-        return dZ, lam_plus, ok, (delta, delta_carry), resolve
+        return dZ, lam_plus, ok, delta, resolve
 
 
 class RiccatiOps:

@@ -187,10 +187,10 @@ def _compare_ops(prob, seed=1, atol=1e-6):
         Jm = dctx._Je * nlp.free_mask[None, :]
         rhs_c = Jm @ w_rhs
         c2 = Jm @ w2
-        dZ_d, lam_d, ok_d, (delta_d, _), _ = dctx.kkt_step(
+        dZ_d, lam_d, ok_d, delta_d, _ = dctx.kkt_step(
             Sig, D, g_hat, rhs_c, jnp.zeros(()), opt
         )
-        dZ_r, lam_r, ok_r, (delta_r, _), resolve_r = rctx.kkt_step(
+        dZ_r, lam_r, ok_r, delta_r, resolve_r = rctx.kkt_step(
             Sig, D, g_hat, rhs_c, jnp.zeros(()), opt
         )
         dZ_r2, lam_r2 = resolve_r(-g2, c2)

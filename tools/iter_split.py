@@ -117,8 +117,8 @@ def main():
             def body(i, carry):
                 z, dlast = carry
                 g = g0 * (1.0 + 1e-30 * jnp.sum(z))
-                dZ, lam_p, ok, (delta, dcarry), _ = ctx.kkt_step(Sig, D, g, -ctx.c_e, dlast, opt)
-                return z * (1.0 + 1e-30 * jnp.sum(dZ)), dcarry
+                dZ, lam_p, ok, delta, _ = ctx.kkt_step(Sig, D, g, -ctx.c_e, dlast, opt)
+                return z * (1.0 + 1e-30 * jnp.sum(dZ)), delta
 
             z, _ = jax.lax.fori_loop(0, K, body, (Z, jnp.zeros((), dtype)))
             return z
@@ -146,13 +146,13 @@ def main():
             def body(i, carry):
                 z, dlast = carry
                 g = g0 * (1.0 + 1e-30 * jnp.sum(z))
-                dZ, lam_p, ok, (delta, dcarry), resolve = ctx.kkt_step(
+                dZ, lam_p, ok, delta, resolve = ctx.kkt_step(
                     Sig, D, g, -ctx.c_e, dlast, opt
                 )
                 rz2 = jnp.stack([-g, -g0])
                 rc2 = jnp.stack([-ctx.c_e, -ctx.c_e])
                 dZ2, _ = resolve.many(rz2, rc2)
-                return z * (1.0 + 1e-30 * (jnp.sum(dZ) + jnp.sum(dZ2))), dcarry
+                return z * (1.0 + 1e-30 * (jnp.sum(dZ) + jnp.sum(dZ2))), delta
 
             z, _ = jax.lax.fori_loop(0, K, body, (Z, jnp.zeros((), dtype)))
             return z
