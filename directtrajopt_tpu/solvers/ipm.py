@@ -1165,8 +1165,12 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         collapse_clear = ls_collapse & (~use_rest)
         slot = filter_n % _FILTER_SIZE
         augment = (~f_type_step) & (~stop_now) & (~use_rest) & (~collapse_clear)
-        filter_th = jnp.where(augment, filter_th.at[slot].set(theta0), filter_th)
-        filter_ph = jnp.where(augment, filter_ph.at[slot].set(phi0), filter_ph)
+        # iota-mask writes, not .at[slot].set: per-lane dynamic slots lower
+        # to (B, F) scatter custom-calls under vmap (profiled ~59 µs/iter at
+        # B=512); the masked where is one fusable elementwise op
+        hit = augment & (jnp.arange(_FILTER_SIZE) == slot)
+        filter_th = jnp.where(hit, theta0, filter_th)
+        filter_ph = jnp.where(hit, phi0, filter_ph)
         filter_n = filter_n + jnp.where(augment, 1, 0)
         clear_f = use_rest | collapse_clear
         filter_th = jnp.where(clear_f, jnp.inf, filter_th)
@@ -1175,7 +1179,8 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         # push this iterate's φ into the non-monotone window (cleared by a
         # restoration step — the feasibility move left the barrier landscape)
         slot_h = st.iter % phi_hist.shape[0]
-        phi_hist = jnp.where(stop_now, phi_hist, phi_hist.at[slot_h].set(phi0))
+        hit_h = (~stop_now) & (jnp.arange(phi_hist.shape[0]) == slot_h)
+        phi_hist = jnp.where(hit_h, phi0, phi_hist)
         phi_hist = jnp.where(clear_f, -jnp.inf, phi_hist)
 
         # ---- local-infeasibility certificate ------------------------------ #

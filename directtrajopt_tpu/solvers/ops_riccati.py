@@ -753,6 +753,8 @@ class _RiccatiCtx:
             self.Jib_g = jnp.zeros((0, n_g), dtype=dtype)
         self.ib_flat_j = jnp.asarray(S.ib_flat)
         self.in_fast_mask_j = jnp.asarray(S.in_fast_mask, dtype=dtype)
+        # static one-hot embedding of the state columns (JeT's column write)
+        self._Es = jnp.asarray(np.eye(S.d)[np.asarray(S.s_idx)], dtype=dtype)
 
     # ---------------- matvecs -------------------------------------------- #
 
@@ -770,7 +772,11 @@ class _RiccatiCtx:
             * self.core_beta
         )
         out = out.at[: N - 1].add(jnp.einsum("krd,kr->kd", self.Jr, vd))
-        out = out.at[1:, jnp.asarray(S.s_idx)].add(vd)
+        # one-hot matmul, not .at[1:, s_idx]: the index-array column write
+        # decomposes into one (B, N, d) dynamic-update-slice PER COLUMN under
+        # vmap (profiled 8 DUS ≈ 64 µs/iter at B=512); vd @ E_s is a tiny
+        # fusable matmul and the row shift is one static-offset update
+        out = out.at[1:].add(vd @ self._Es)
         full = jnp.concatenate([out.reshape(-1), out_g])
         if nlp.n_lin_eq:
             # promoted rows were consumed above — mask them out of A_eqᵀ
