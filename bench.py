@@ -79,18 +79,20 @@ def main():
     print(f"device: {dev}, platform: {dev.platform}", file=sys.stderr)
 
     N = 51
-    BATCH = 512 if on_tpu else 8
-    # The chip's per-lane iteration cost RISES with lockstep width (measured
-    # v5e: 14.7 µs/lane at B=128 → 20.5 µs at B=1024 — 128 lanes saturate
-    # it), so the whole solve runs as solve_batch_compact: every phase is a
-    # lax.scan over 128-lane compacted chunks inside ONE jitted program (no
-    # host round trips between phases; the old host-driven two-phase
-    # scheduler measured 1223/s vs 1460/s for compact at the same schedule).
+    # B=8192/chunk=256 is the measured throughput plateau (r4): after the
+    # kernel/layout/scatter work the per-lane compute no longer dominates —
+    # per-WHILE-iteration fixed op overhead does, and wider chunks + more
+    # chunks amortize it (B=512:6.9k, 2048:14.9k, 4096:18.2k, 8192:21.0k,
+    # 16384:20.7k solves/s at full convergence). The r2-era "128 lanes
+    # saturate the chip" guidance predates those fixes.
+    BATCH = 8192 if on_tpu else 8
+    # solve_batch_compact: every phase is a lax.scan over compacted chunks
+    # inside ONE jitted program (no host round trips between phases; the old
+    # host-driven two-phase scheduler measured 1223/s vs 1460/s compact).
     # Phase schedule tuned on-chip: (16, 16, 64) iterations with primal-only
-    # μ restarts at 1e-3 beat (24, 64) by ~7% (2241 vs 2145 solves/s).
-    # Measured and rejected: carrying phase-1 duals into later phases
-    # converges FEWER lanes on this nonconvex family.
-    CONT = min(128, BATCH)
+    # μ restarts at 1e-3. Measured and rejected: carrying phase-1 duals into
+    # later phases converges FEWER lanes on this nonconvex family.
+    CONT = min(256, BATCH)
     # Gauss-Newton Hessian (options.py: hessian_approximation): on this
     # bilinear family GN both removes the dominant prepare-stage AD pass and
     # cuts iterations — CPU f64 strict-tol profile over 8 seeds [48..137]
