@@ -133,6 +133,11 @@ class IPMState(NamedTuple):
     # top-K best-score retention (callbacks.score_top_k > 1 only)
     topk_scores: jax.Array | None = None
     topk_Z: jax.Array | None = None
+    # oscillation watchdog (options.osc_watchdog_iter): consecutive
+    # tiny-accepted-step count and the monotone proximal-floor boost it
+    # ratchets (always arrays in a live solve; None never reaches the loop)
+    osc_count: jax.Array | None = None
+    delta_w_boost: jax.Array | None = None
 
 
 class WarmStart(NamedTuple):
@@ -383,6 +388,8 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         phi_hist=jnp.full((max(options.ls_memory, 1),), -jnp.inf, dtype=dtype),
         delta_w_last=jnp.zeros((), dtype=dtype),
         stall_count=jnp.zeros((), dtype=jnp.int32),
+        osc_count=jnp.zeros((), dtype=jnp.int32),
+        delta_w_boost=jnp.ones((), dtype=dtype),
         infeasible=jnp.asarray(False),
         rest_failed=jnp.asarray(False),
         diverged=jnp.asarray(False),
@@ -682,10 +689,12 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         Sig = (SigL + SigU) * free
         D = nu / s if n_in else jnp.zeros((0,), dtype=dtype)
 
-        # per-iteration proximal δ_w floor (options.py: delta_w_min rationale)
+        # per-iteration proximal δ_w floor (options.py: delta_w_min
+        # rationale); the μ-tied term carries the lane's watchdog boost
         opt_k = opt.replace(
             delta_w_min=jnp.maximum(
-                opt.delta_w_min, opt.delta_w_mu_scale * mu
+                opt.delta_w_min,
+                opt.delta_w_mu_scale * mu * st.delta_w_boost,
             )
         )
 
@@ -1114,6 +1123,23 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             & jnp.all(jnp.isfinite(lam_new))
         )
         took_step = step_ok & (~stop_now)
+        # oscillation watchdog (options.osc_watchdog_iter): a lane that keeps
+        # accepting only tiny backtracked steps is grinding in a gauge valley
+        # the current proximal floor cannot damp — after osc_watchdog_iter
+        # consecutive such iterations, ratchet its μ-tied floor multiplier
+        small_step = took_step & (alpha < 0.25 * a_pri)
+        osc_count = jnp.where(
+            small_step, st.osc_count + 1, jnp.zeros_like(st.osc_count)
+        )
+        osc_fire = (opt.osc_watchdog_iter > 0) & (
+            osc_count >= opt.osc_watchdog_iter
+        )
+        delta_w_boost = jnp.where(
+            osc_fire,
+            jnp.minimum(st.delta_w_boost * opt.osc_boost_factor, 1e6),
+            st.delta_w_boost,
+        )
+        osc_count = jnp.where(osc_fire, 0, osc_count)
         c_e_new = jnp.where(took_step, c_e_sel, c_e)
         c_i_new = jnp.where(took_step, c_i_sel, c_i)
         Z_new = jnp.where(step_ok, Z_new, Z)
@@ -1373,6 +1399,8 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             obj_prev=st.obj,
             topk_scores=topk_scores,
             topk_Z=topk_Z,
+            osc_count=osc_count,
+            delta_w_boost=delta_w_boost,
         )
 
     def cond(st: IPMState):

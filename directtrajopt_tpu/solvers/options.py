@@ -247,6 +247,21 @@ class IPMOptions:
     # bench.py sets delta_w_mu_scale=0 there.
     delta_w_min: float = 0.0
     delta_w_mu_scale: float = 0.3
+    # Oscillation watchdog on the proximal floor: delta_w_mu_scale·μ is
+    # sized for the TYPICAL gauge valley, but a valley whose curvature sits
+    # just above the floor still grinds — the lane accepts only tiny
+    # backtracked steps (α ≪ α_max) for hundreds of iterations while μ (and
+    # with it the floor) stays frozen because the inner loop never clears
+    # κ_ε·μ. After `osc_watchdog_iter` CONSECUTIVE accepted steps with
+    # α < 0.25·α_max, the lane's floor multiplier ratchets ×osc_boost_factor
+    # (monotone, capped at 1e6; the floor stays ∝ μ so the extra damping
+    # still vanishes as μ → 0). Measured on the X-gate infidelity problem
+    # (f64, tol=1e-7): without the watchdog the endgame oscillates from
+    # iteration ~190 to the 500 cap at kkt ≈ 1e-4; with it the solve
+    # converges. 0 disables. No effect when delta_w_mu_scale = 0 (the
+    # boost multiplies the μ-tied term only).
+    osc_watchdog_iter: int = 8
+    osc_boost_factor: float = 10.0
     # Riccati backend: augmented-Lagrangian curvature shift for knot-local
     # border rows (terminal/interior pins, nonlinear equalities). Moves the
     # curvature those constraints fix into the core so the stage-wise inertia
