@@ -10,9 +10,6 @@ Usage: python bench_sweep.py [batch]    (markdown table on stdout)
 """
 
 import sys
-import time
-
-import numpy as np
 
 
 REFERENCE_IPOPT_S = {  # docs/src/benchmarks.md:116-124 (median of 3 seeds)
@@ -97,8 +94,6 @@ print(json.dumps(dict(wall=wall, compile_s=compile_s,
 
 
 def main():
-    import os
-
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 
     rows = []

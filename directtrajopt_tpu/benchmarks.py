@@ -17,7 +17,6 @@ import numpy as np
 from .integrators import BilinearIntegrator, DerivativeIntegrator
 from .objectives import QuadraticRegularizer, TerminalObjective
 from .problem import DirectTrajOptProblem
-from .rollout import bilinear_rollout
 from .trajectory import Trajectory
 
 __all__ = [

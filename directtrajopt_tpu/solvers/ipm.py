@@ -1126,20 +1126,40 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
         # oscillation watchdog (options.osc_watchdog_iter): a lane that keeps
         # accepting only tiny backtracked steps is grinding in a gauge valley
         # the current proximal floor cannot damp — after osc_watchdog_iter
-        # consecutive such iterations, ratchet its μ-tied floor multiplier
-        small_step = took_step & (alpha < 0.25 * a_pri)
+        # consecutive such iterations, ratchet its μ-tied floor multiplier.
+        # Restoration accepts are excluded (α_rest ~ a_r ≪ a_pri is that
+        # direction's natural scale, not a grind signal). The counter is
+        # signed: small steps count up toward the boost, near-full steps
+        # count down toward a decay (÷osc_boost_factor, floor 1) so the
+        # boost doesn't persist through later, well-conditioned phases.
+        small_step = took_step & (~use_rest) & (
+            alpha < opt.osc_small_frac * a_pri
+        )
+        full_step = took_step & (~use_rest) & (alpha >= 0.9 * a_pri)
         osc_count = jnp.where(
-            small_step, st.osc_count + 1, jnp.zeros_like(st.osc_count)
+            small_step,
+            jnp.maximum(st.osc_count, 0) + 1,
+            jnp.where(
+                full_step,
+                jnp.minimum(st.osc_count, 0) - 1,
+                jnp.zeros_like(st.osc_count),
+            ),
         )
-        osc_fire = (opt.osc_watchdog_iter > 0) & (
-            osc_count >= opt.osc_watchdog_iter
-        )
+        watchdog_on = opt.osc_watchdog_iter > 0
+        osc_fire = watchdog_on & (osc_count >= opt.osc_watchdog_iter)
+        osc_decay = watchdog_on & (osc_count <= -opt.osc_watchdog_iter)
         delta_w_boost = jnp.where(
             osc_fire,
-            jnp.minimum(st.delta_w_boost * opt.osc_boost_factor, 1e6),
-            st.delta_w_boost,
+            jnp.minimum(
+                st.delta_w_boost * opt.osc_boost_factor, opt.osc_boost_cap
+            ),
+            jnp.where(
+                osc_decay,
+                jnp.maximum(st.delta_w_boost / opt.osc_boost_factor, 1.0),
+                st.delta_w_boost,
+            ),
         )
-        osc_count = jnp.where(osc_fire, 0, osc_count)
+        osc_count = jnp.where(osc_fire | osc_decay, 0, osc_count)
         c_e_new = jnp.where(took_step, c_e_sel, c_e)
         c_i_new = jnp.where(took_step, c_i_sel, c_i)
         Z_new = jnp.where(step_ok, Z_new, Z)

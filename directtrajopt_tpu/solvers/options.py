@@ -253,15 +253,24 @@ class IPMOptions:
     # backtracked steps (α ≪ α_max) for hundreds of iterations while μ (and
     # with it the floor) stays frozen because the inner loop never clears
     # κ_ε·μ. After `osc_watchdog_iter` CONSECUTIVE accepted steps with
-    # α < 0.25·α_max, the lane's floor multiplier ratchets ×osc_boost_factor
-    # (monotone, capped at 1e6; the floor stays ∝ μ so the extra damping
-    # still vanishes as μ → 0). Measured on the X-gate infidelity problem
-    # (f64, tol=1e-7): without the watchdog the endgame oscillates from
-    # iteration ~190 to the 500 cap at kkt ≈ 1e-4; with it the solve
+    # α < osc_small_frac·α_max, the lane's floor multiplier ratchets
+    # ×osc_boost_factor (capped at osc_boost_cap; the floor stays ∝ μ so
+    # the extra damping still vanishes as μ → 0). Restoration-direction
+    # accepts don't count: their natural scale is α_r ≪ α_max, so a lane
+    # making healthy restoration progress is not oscillating. The boost is
+    # not monotone: after `osc_watchdog_iter` CONSECUTIVE near-full accepts
+    # (α ≥ 0.9·α_max) it decays ÷osc_boost_factor back toward 1, so a lane
+    # that ground briefly at high μ doesn't drag a 1e6× floor through all
+    # later barrier phases (if it grinds again, the watchdog refires after
+    # osc_watchdog_iter more iterations). Measured on the X-gate infidelity
+    # problem (f64, tol=1e-7): without the watchdog the endgame oscillates
+    # from iteration ~190 to the 500 cap at kkt ≈ 1e-4; with it the solve
     # converges. 0 disables. No effect when delta_w_mu_scale = 0 (the
     # boost multiplies the μ-tied term only).
     osc_watchdog_iter: int = 8
     osc_boost_factor: float = 10.0
+    osc_small_frac: float = 0.25
+    osc_boost_cap: float = 1e6
     # Riccati backend: augmented-Lagrangian curvature shift for knot-local
     # border rows (terminal/interior pins, nonlinear equalities). Moves the
     # curvature those constraints fix into the core so the stage-wise inertia
