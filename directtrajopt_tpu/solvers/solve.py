@@ -372,6 +372,7 @@ def solve_batch_compact(
     chunk: int = 128,
     backend: str = "auto",
     warm=None,
+    carry_duals: bool = False,
     **kwargs: Any,
 ) -> SolveResult:
     """Multi-phase straggler-compacted batch solve, entirely on device.
@@ -390,10 +391,17 @@ def solve_batch_compact(
       checkpoint — phase p continues from phase p−1's iterate);
     * a chunk whose lanes are all converged is skipped by ``lax.cond``;
     * ``phases`` is a static tuple of ``(max_iter, mu_init)`` — ``None``
-      keeps the incoming option value. Later phases restart the barrier
-      primal-only (carrying mid-flight duals measured worse, see
+      keeps the incoming option value. By default later phases restart the
+      barrier primal-only (carrying mid-flight duals measured worse on the
+      nonconvex bilinear family from COLD starts, see
       :func:`solve_batch_scheduled`); a user ``warm`` start applies to
-      phase 1 only.
+      phase 1 only. With ``carry_duals=True`` each later phase instead
+      warm-starts every straggler lane from its own best-KKT slacks and
+      multipliers — the right semantics when the phases are a *continuation*
+      of one converging solve rather than barrier restarts (e.g. the
+      certified-quality polish in ``bench.py``: median lanes finish in 1-2
+      polish iterations and only stragglers re-enter, where a primal-only
+      restart would re-pay the whole μ walk).
 
     Returns a lane-merged :class:`SolveResult`: each lane reports the phase
     that last updated it, with combined iteration counts.
@@ -401,16 +409,18 @@ def solve_batch_compact(
     options = _merge_options(options, kwargs)
     if chunk < 1:
         raise ValueError(f"chunk must be >= 1, got {chunk}")
-    return _compact_runner(backend, tuple(phases), chunk)(problems, options, warm)
+    return _compact_runner(backend, tuple(phases), chunk, carry_duals)(
+        problems, options, warm
+    )
 
 
 @lru_cache(maxsize=None)
-def _compact_runner(backend: str, phases: tuple, chunk: int):
-    return jax.jit(_compact_body(backend, phases, chunk))
+def _compact_runner(backend: str, phases: tuple, chunk: int, carry_duals: bool = False):
+    return jax.jit(_compact_body(backend, phases, chunk, carry_duals))
 
 
 @lru_cache(maxsize=None)
-def _compact_body(backend: str, phases: tuple, chunk: int):
+def _compact_body(backend: str, phases: tuple, chunk: int, carry_duals: bool = False):
     """Unjitted compact-schedule body — also the per-shard program of
     :func:`directtrajopt_tpu.parallel.solve_batch_compact_sharded`."""
 
@@ -441,6 +451,10 @@ def _compact_body(backend: str, phases: tuple, chunk: int):
             opts_p = options.replace(max_iter=int(p_iter))
             if p_mu is not None:
                 opts_p = opts_p.replace(mu_init=p_mu)
+            # carry_duals: later phases warm-start each lane from its own
+            # best-KKT slacks/multipliers (gathered per-chunk from `out`
+            # inside body) instead of the primal-only barrier restart
+            carry_phase = carry_duals and pi > 0
             w_phase = warm if pi == 0 else None
 
             # stable sort: unconverged lanes (False=0) pack to the front,
@@ -456,8 +470,13 @@ def _compact_body(backend: str, phases: tuple, chunk: int):
             # across phases up to the warm treedef — reuse phase 1's when
             # the warm structure carries over)
             sub0 = _tree_take_nb(cur, idx_all[0])
-            w0 = _tree_take_nb(w_phase, idx_all[0]) if w_phase is not None else None
-            if pi == 0 or (pi == 1 and warm is not None):
+            if carry_phase:
+                w0 = _tree_take_nb(out.ipm.state.best_kkt_warm, idx_all[0])
+            elif w_phase is not None:
+                w0 = _tree_take_nb(w_phase, idx_all[0])
+            else:
+                w0 = None
+            if pi == 0 or (pi == 1 and (warm is not None or carry_duals)):
                 res_shape = jax.eval_shape(solve_chunk, sub0, opts_p, w0)
                 zeros_res = jax.tree.map(
                     lambda sh: jnp.zeros(sh.shape, sh.dtype), res_shape
@@ -467,10 +486,18 @@ def _compact_body(backend: str, phases: tuple, chunk: int):
                     lambda z: jnp.zeros((B,) + z.shape[1:], z.dtype), zeros_res
                 )
 
-            def body(carry, idx, _opts=opts_p, _w=w_phase, _zeros=zeros_res):
+            def body(
+                carry, idx, _opts=opts_p, _w=w_phase, _zeros=zeros_res,
+                _carry_w=carry_phase,
+            ):
                 conv, iters, cur, out = carry
                 sub = _tree_take_nb(cur, idx)
-                wi = _tree_take_nb(_w, idx) if _w is not None else None
+                if _carry_w:
+                    wi = _tree_take_nb(out.ipm.state.best_kkt_warm, idx)
+                elif _w is not None:
+                    wi = _tree_take_nb(_w, idx)
+                else:
+                    wi = None
                 need = jnp.any(~conv[idx])
                 r = jax.lax.cond(
                     need,
