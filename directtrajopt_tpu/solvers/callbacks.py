@@ -23,6 +23,7 @@ The reference's callbacks run in the Ipopt C loop; ours run inside the jitted
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
 from typing import Callable
 
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ __all__ = [
     "IPMCallbacks",
     "say_hello",
     "stop_iteration",
+    "wall_clock_stop",
     "fidelity_stop",
     "best_fidelity_tracker",
     "telemetry",
@@ -64,6 +66,15 @@ class IPMCallbacks:
     include_primal: bool = static_field(default=False)
     stop_fn: Callable | None = static_field(default=None)
     stop_every: int = static_field(default=1)
+    # host-interactive stop: ``host_stop_fn(info: dict) -> bool`` runs on the
+    # HOST every ``host_stop_every`` iterations via ``jax.experimental.
+    # io_callback`` and its boolean return halts the device loop — the full
+    # power of the reference's intermediate-callback contract (wall-clock
+    # budgets, interactive abort) that the pure-device ``stop_fn`` cannot
+    # express and ``host_fn`` (fire-and-forget) cannot feed back. Each poll
+    # costs a host round trip, so keep ``host_stop_every`` coarse.
+    host_stop_fn: Callable | None = static_field(default=None)
+    host_stop_every: int = static_field(default=8)
     history_size: int = static_field(default=0)
     telemetry_size: int = static_field(default=0)
     score_fn: Callable | None = static_field(default=None)
@@ -81,6 +92,8 @@ class IPMCallbacks:
             include_primal=self.include_primal or other.include_primal,
             stop_fn=self.stop_fn or other.stop_fn,
             stop_every=min(self.stop_every, other.stop_every),
+            host_stop_fn=self.host_stop_fn or other.host_stop_fn,
+            host_stop_every=min(self.host_stop_every, other.host_stop_every),
             history_size=max(self.history_size, other.history_size),
             telemetry_size=max(self.telemetry_size, other.telemetry_size),
             score_fn=self.score_fn or other.score_fn,
@@ -106,6 +119,40 @@ def telemetry(size: int = 128) -> IPMCallbacks:
     ``i``; valid rows are ``history_stats[:min(iterations, size)]`` when the
     run fits the ring."""
     return IPMCallbacks(telemetry_size=size)
+
+
+def wall_clock_stop(max_seconds: float, every: int = 8) -> IPMCallbacks:
+    """Stop the solve once ``max_seconds`` of wall time have elapsed,
+    measured from the solve's first poll (so compile time is excluded; the
+    clock re-anchors whenever a poll sees iteration 0, i.e. at each new
+    solve reusing this callback object). The host analog of the reference's
+    wall-clock intermediate callback — the device loop is halted with
+    status 3 and the in-flight iterate preserved. Also reachable as
+    ``solve(prob, max_wall_time=30.0)``."""
+    import time as _time
+
+    import numpy as _onp
+
+    start = [None]
+
+    def over_budget(info):
+        now = _time.monotonic()
+        # iteration is a scalar (or a batch under vmap); min==0 marks the
+        # first poll of a fresh solve — re-anchor the budget there
+        if start[0] is None or int(_onp.min(info["iteration"])) == 0:
+            start[0] = now
+        return (now - start[0]) > max_seconds
+
+    return IPMCallbacks(host_stop_fn=over_budget, host_stop_every=every)
+
+
+@_lru_cache(maxsize=None)
+def _wall_stop_cached(max_seconds: float, every: int = 8) -> IPMCallbacks:  # noqa: used by ipm.py's max_wall_time path
+    """Cached :func:`wall_clock_stop` instance for the ``max_wall_time``
+    option path: repeated ``solve_jit(prob, max_wall_time=30.0)`` calls must
+    reuse ONE callback object (callbacks are static under jit — a fresh
+    closure per call would recompile every time)."""
+    return wall_clock_stop(max_seconds, every)
 
 
 def stop_iteration(max_iterations: int) -> IPMCallbacks:

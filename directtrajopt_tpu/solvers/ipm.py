@@ -263,6 +263,13 @@ def ipm_solve(
 
 def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
     cb = callbacks
+    if float(options.max_wall_time) > 0.0:
+        # options path for the host wall-clock stop: merge a CACHED callback
+        # instance (stable static identity, so repeated jitted solves with
+        # the same budget share one compiled program)
+        from .callbacks import _wall_stop_cached
+
+        cb = _wall_stop_cached(float(options.max_wall_time)).merged_with(cb)
     hist_k = cb.history_size if cb else 0
     tele_k = getattr(cb, "telemetry_size", 0) if cb else 0
     if ops is None:
@@ -1331,6 +1338,47 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             user_stop = due & cb.stop_fn(Z_new, st.iter)
         else:
             user_stop = jnp.asarray(False)
+        if cb is not None and cb.host_stop_fn is not None:
+            # host-interactive stop (reference AbstractIntermediateCallback,
+            # `/root/reference/src/solvers/_solvers.jl:21-59`): unlike
+            # ``host_fn`` (jax.debug.callback, fire-and-forget), io_callback
+            # RETURNS the host's verdict into the loop, so arbitrary host
+            # logic — wall-clock budgets, interactive abort — can halt the
+            # solve with progress preserved (the returned iterate is the
+            # in-flight one; status 3 "stopped by callback"). Off the hot
+            # path: polled every ``host_stop_every`` iterations via lax.cond
+            # (a host round trip per poll — expensive through a tunneled
+            # TPU runtime, hence the coarse default).
+            # The callback fires every iteration (lax.cond around an IO
+            # effect does not compose with vmap); ``host_stop_every`` gates
+            # the USER function on the host side, so off-cycle iterations
+            # cost one cheap round trip and no user code. vmap batches the
+            # poll into one host call per lockstep iteration.
+            from jax.experimental import io_callback
+
+            h_info = {
+                "iteration": st.iter,
+                "mu": mu,
+                "objective": obj_new,
+                "kkt_error": e_0,
+                "theta": theta0,
+            }
+            h_due = (st.iter % cb.host_stop_every) == 0
+
+            def _host_poll(due, info):
+                import numpy as _onp
+
+                if not _onp.any(due):
+                    return jnp.asarray(False)
+                return jnp.asarray(bool(cb.host_stop_fn(info)))
+
+            user_stop = user_stop | io_callback(
+                _host_poll,
+                jax.ShapeDtypeStruct((), jnp.bool_),
+                h_due,
+                h_info,
+                ordered=False,
+            )
         if hist_k:
             history_Z = st.history_Z.at[st.iter % hist_k].set(Z_new)
             hist_n = st.hist_n + 1

@@ -283,6 +283,13 @@ class IPMOptions:
     # (the dominant share of time-to-first-solve), and re-solving with a new
     # budget never recompiles.
     max_iter: int = 1000
+    # Wall-clock budget in seconds (0 = off; STATIC — toggling it changes
+    # the traced graph by inserting an io_callback poll). Measured from the
+    # solve's first poll, checked on the HOST every 8 iterations; a solve
+    # over budget halts with status 3 and its in-flight iterate preserved.
+    # The option form of callbacks.wall_clock_stop (reference analog: a
+    # wall-clock AbstractIntermediateCallback, `_solvers.jl:21-59`).
+    max_wall_time: float = static_field(default=0.0)
     # -- diagnostics: per-iteration jax.debug.print (static) --------------- #
     print_level: int = static_field(default=0)
 

