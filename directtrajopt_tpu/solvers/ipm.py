@@ -46,19 +46,18 @@ _S_THETA = 1.1
 _S_PHI = 2.3
 
 
-def _lbfgs_hessian(S, Y, count, sigma_clip=(1e-6, 1e6)):
-    """Byrd–Nocedal–Schnabel compact L-BFGS Hessian, materialized dense.
-
-    ``B = σI − [σS; Y]ᵀ M⁻¹ [σS; Y]`` with
+def _lbfgs_compact(S, Y, count, sigma_clip=(1e-6, 1e6)):
+    """Byrd–Nocedal–Schnabel compact L-BFGS factors ``(σ, U, M)`` with
+    ``B = σI − Uᵀ M⁻¹ U``, ``U = [σS; Y]`` (2m, z) and
     ``M = [[σSᵀS, L], [Lᵀ, −D]]``, L strictly-lower of SYᵀ, D = diag(SYᵀ) —
     the same compact form MadNLP's CompactLBFGS carries
-    (`/root/reference/ext/MadNLPSolverExt/utils.jl:11-110`); here it is
-    materialized once per iteration for the dense condensed-KKT
-    factorization (m ≤ ~6, so the build is O(z²m) — below one
-    factorization). Ring slots below ``m − count`` are masked out; their
-    U-columns are zero, so padding M's diagonal keeps it invertible without
-    changing B. σ = yᵀy/yᵀs of the newest pair (standard B₀ scaling).
-    """
+    (`/root/reference/ext/MadNLPSolverExt/utils.jl:11-110`). Ring slots
+    below ``m − count`` are masked out; their U-columns are zero, so padding
+    M's diagonal keeps it invertible without changing B. σ = yᵀy/yᵀs of the
+    newest pair (standard B₀ scaling). Consumed two ways: materialized
+    dense (:func:`_lbfgs_hessian`, dense backend) or as a low-rank
+    Sherman–Morrison–Woodbury correction threaded through the Riccati
+    backend's multi-RHS resolve (`ops_riccati._RiccatiCtx.set_lbfgs`)."""
     m, z = S.shape
     dtype = S.dtype
     valid = (jnp.arange(m) >= m - count).astype(dtype)
@@ -80,7 +79,15 @@ def _lbfgs_hessian(S, Y, count, sigma_clip=(1e-6, 1e6)):
     )
     M = M + jnp.diag(jnp.concatenate([1.0 - valid, 1.0 - valid]))
     U = jnp.concatenate([sigma * Sv, Yv], axis=0)  # (2m, z)
-    return sigma * jnp.eye(z, dtype=dtype) - U.T @ jnp.linalg.solve(M, U)
+    return sigma, U, M
+
+
+def _lbfgs_hessian(S, Y, count, sigma_clip=(1e-6, 1e6)):
+    """Compact L-BFGS Hessian materialized dense (see :func:`_lbfgs_compact`;
+    m ≤ ~6, so the build is O(z²m) — below one dense factorization)."""
+    sigma, U, M = _lbfgs_compact(S, Y, count, sigma_clip)
+    z = S.shape[1]
+    return sigma * jnp.eye(z, dtype=S.dtype) - U.T @ jnp.linalg.solve(M, U)
 
 
 class IPMState(NamedTuple):
@@ -360,7 +367,14 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
             stagewise=sw, skip_hessian=lbfgs,
         )
         if lbfgs:  # least-squares dual init: B0 = I is the natural metric
-            ctx0.set_hessian(jnp.eye(z_dim, dtype=dtype))
+            if hasattr(ctx0, "set_lbfgs"):
+                ctx0.set_lbfgs(
+                    jnp.ones((), dtype=dtype),
+                    jnp.zeros((2 * m_l, z_dim), dtype=dtype),
+                    jnp.eye(2 * m_l, dtype=dtype),
+                )
+            else:
+                ctx0.set_hessian(jnp.eye(z_dim, dtype=dtype))
         SigL0 = jnp.where(mask_L, zL0 / dL0, 0.0)
         SigU0 = jnp.where(mask_U, zU0 / dU0, 0.0)
         Sig0 = (SigL0 + SigU0) * free
@@ -500,7 +514,13 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
                 st.lbfgs_Y,
             )
             lbfgs_n = jnp.minimum(st.lbfgs_n + good, m_l)
-            ctx.set_hessian(_lbfgs_hessian(lbfgs_S, lbfgs_Y, lbfgs_n))
+            if hasattr(ctx, "set_lbfgs"):
+                # Riccati backend: keep B in compact low-rank form — σI in
+                # the stage blocks plus an SMW correction applied through
+                # the O(N) factorization (no densification)
+                ctx.set_lbfgs(*_lbfgs_compact(lbfgs_S, lbfgs_Y, lbfgs_n))
+            else:
+                ctx.set_hessian(_lbfgs_hessian(lbfgs_S, lbfgs_Y, lbfgs_n))
         else:
             lbfgs_S, lbfgs_Y, lbfgs_n = st.lbfgs_S, st.lbfgs_Y, st.lbfgs_n
 

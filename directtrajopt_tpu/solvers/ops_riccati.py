@@ -472,7 +472,8 @@ def analyze(nlp: CanonicalNLP) -> OCPStructure | None:
 class _RiccatiCtx:
     def __init__(self, nlp: CanonicalNLP, S: OCPStructure, Z, lam, nu,
                  pallas_mode: str = "auto", cache=None,
-                 gauss_newton: bool = False, stagewise: bool = False):
+                 gauss_newton: bool = False, stagewise: bool = False,
+                 skip_hessian: bool = False):
         self.nlp = nlp
         self.S = S
         self.Z = Z
@@ -554,10 +555,18 @@ class _RiccatiCtx:
         # Lagrangian Hessian blocks Q_W (N, d, d): objective + integrators +
         # nonlinear constraints (multipliers from lam / nu)
         obj = nlp.objective_obj
-        QW = jax.vmap(
-            jax.hessian(lambda z, k: obj.cost_at_knot(layout, z, gvec, k)),
-            in_axes=(0, 0),
-        )(zmat, jnp.arange(N))
+        # skip_hessian (L-BFGS): no AD Hessians — the model is σI plus a
+        # low-rank SMW correction installed by set_lbfgs; gauss_newton is
+        # treated as True below so every λ/ν-curvature pass is skipped too
+        self._lbfgs = None
+        if skip_hessian:
+            gauss_newton = True
+            QW = jnp.zeros((N, d, d), dtype=dtype)
+        else:
+            QW = jax.vmap(
+                jax.hessian(lambda z, k: obj.cost_at_knot(layout, z, gvec, k)),
+                in_axes=(0, 0),
+            )(zmat, jnp.arange(N))
         # gauss_newton (options.hessian_approximation): drop the λ/ν-weighted
         # constraint-curvature terms. PSD by construction (objective
         # quadratics + Σ), so δ_w almost never fires, and prepare skips every
@@ -602,7 +611,12 @@ class _RiccatiCtx:
         self.stagewise = False if gauss_newton else stagewise
 
         # ---- arrowhead Hessian blocks: ∂²L/∂z∂g and ∂²L/∂g² --------------- #
-        if n_g:
+        if n_g and skip_hessian:
+            # L-BFGS: global coordinates get σ on the diagonal in kkt_step;
+            # cross curvature lives in the low-rank correction
+            self.Hzg = jnp.zeros((N, d, n_g), dtype=dtype)
+            self.Hgg = jnp.zeros((n_g, n_g), dtype=dtype)
+        elif n_g:
             Hzg = jnp.zeros((N, d, n_g), dtype=dtype)
             Hgg = jnp.zeros((n_g, n_g), dtype=dtype)
             ks = jnp.arange(N)
@@ -848,6 +862,17 @@ class _RiccatiCtx:
 
     # ---------------- KKT solve ------------------------------------------ #
 
+    def set_lbfgs(self, sigma, U, M):
+        """Install the compact L-BFGS model ``B = σI − Uᵀ M⁻¹ U`` (see
+        ``ipm._lbfgs_compact``). kkt_step adds σ to the free stage/global
+        diagonals and applies the low-rank term as a Sherman–Morrison–
+        Woodbury correction through the factored O(N) solve: 2m extra
+        right-hand sides through ``resolve.many`` (one fused factor-sweep)
+        plus a (2m)×(2m) dense solve — the Riccati-native analog of
+        MadNLP's CompactLBFGS, instead of densifying to z×z."""
+        free = self.nlp.free_mask.astype(self.dtype)
+        self._lbfgs = (sigma, U * free[None, :], M)
+
     def kkt_step(self, Sig, D, g_hat, rhs_c, delta_last, opt):
         nlp, S = self.nlp, self.S
         N, d = S.N, S.d
@@ -865,6 +890,10 @@ class _RiccatiCtx:
         Q = Q * f_blk[:, :, None] * f_blk[:, None, :]
         Q = Q.at[:, ar, ar].add(1.0 - f_blk)
         Q = Q.at[:, ar, ar].add(Sig[: N * d].reshape(N, d))
+        if self._lbfgs is not None:
+            # L-BFGS base model σI on the free stage diagonal (the low-rank
+            # −UᵀM⁻¹U part is applied by SMW after the factored solve)
+            Q = Q.at[:, ar, ar].add(self._lbfgs[0] * f_blk)
 
         # ---- arrowhead blocks (masked; δ-independent parts) --------------- #
         if n_g:
@@ -875,6 +904,8 @@ class _RiccatiCtx:
                 + jnp.diag(1.0 - gf)
                 + jnp.diag(Sig[N * d :] * gf)
             )
+            if self._lbfgs is not None:
+                Hgg_m = Hgg_m + jnp.diag(self._lbfgs[0] * gf)
         else:
             gf = None
             Hzg_m = Hgg_m = None
@@ -1409,6 +1440,50 @@ class _RiccatiCtx:
         dZ = jnp.concatenate([dz.reshape(-1), dg])
         lam_plus = pack_lam(lam_stack, lam_c)
         ok = ok & ok_s & jnp.all(jnp.isfinite(dZ)) & jnp.all(jnp.isfinite(lam_plus))
+
+        if self._lbfgs is not None:
+            # Sherman–Morrison–Woodbury for the compact L-BFGS low-rank term:
+            # the factored system K₀ used W₀ = σI; the true model is
+            # W = σI − UᵀM⁻¹U, i.e. K = K₀ + Ṽ·(−M⁻¹)·Ṽᵀ with Ṽ = [U; 0]ᵀ.
+            # K⁻¹b = K₀⁻¹b − K₀⁻¹Ṽ (−M + ṼᵀK₀⁻¹Ṽ)⁻¹ ṼᵀK₀⁻¹b — 2m extra
+            # right-hand sides through one fused resolve sweep + a (2m)²
+            # dense solve. ``resolve``'s sign convention (it returns the
+            # step for rhs (b_z, b_c) with the same orientation as the main
+            # solve) cancels out: Solve = s·K₀⁻¹ with s = ±1 enters C and
+            # the correction once each, so the formulas below hold for the
+            # validated s = +1 (see tests/test_lbfgs.py riccati-vs-dense
+            # agreement).
+            _sigma, _U, _M = self._lbfgs
+            _R = _U.shape[0]
+            Xz, Xlam = resolve_many(
+                _U, jnp.zeros((_R,) + rhs_c.shape, dtype)
+            )
+            C = -_M + _U @ Xz.T
+            base_resolve = resolve
+
+            def _smw_correct(xz, xlam):
+                w = jnp.linalg.solve(C, _U @ xz)
+                return xz - Xz.T @ w, xlam - Xlam.T @ w
+
+            dZ, lam_plus = _smw_correct(dZ, lam_plus)
+            ok = (
+                ok
+                & jnp.all(jnp.isfinite(dZ))
+                & jnp.all(jnp.isfinite(lam_plus))
+            )
+
+            def resolve_lbfgs(rhs_z, rhs_c_flat):
+                xz, xlam = base_resolve(rhs_z, rhs_c_flat)
+                return _smw_correct(xz, xlam)
+
+            def resolve_lbfgs_many(rhs_z_stack, rhs_c_stack):
+                xz, xlam = resolve_many(rhs_z_stack, rhs_c_stack)
+                w = jnp.linalg.solve(C, (_U @ xz.T))  # (2m, R)
+                return xz - (Xz.T @ w).T, xlam - (Xlam.T @ w).T
+
+            resolve_lbfgs.many = resolve_lbfgs_many
+            resolve = resolve_lbfgs
+
         return dZ, lam_plus, ok, delta, resolve
 
 
@@ -1431,13 +1506,12 @@ class RiccatiOps:
 
     def prepare(self, Z, lam, nu, cache=None, gauss_newton=False,
                 stagewise=False, skip_hessian=False) -> _RiccatiCtx:
-        if skip_hessian:
-            raise ValueError(
-                "hessian_approximation='lbfgs' needs the dense backend "
-                "(a global low-rank model has no stage-block structure); "
-                "backend='auto' routes there automatically"
-            )
+        # skip_hessian (L-BFGS mode): AD Hessian blocks are skipped; the
+        # quasi-Newton model arrives via ctx.set_lbfgs as σI + a low-rank
+        # SMW correction threaded through the O(N) factorization — the
+        # Riccati analog of MadNLP's CompactLBFGS
+        # (`/root/reference/ext/MadNLPSolverExt/utils.jl:11-110`)
         return _RiccatiCtx(
             self.nlp, self.struct, Z, lam, nu, self.pallas_mode, cache,
-            gauss_newton, stagewise,
+            gauss_newton, stagewise, skip_hessian,
         )

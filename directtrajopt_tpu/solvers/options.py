@@ -110,11 +110,13 @@ class IPMOptions:
     # `/root/reference/ext/MadNLPSolverExt/utils.jl:11-110`): no second-order
     # AD at all — the Lagrangian curvature is modeled from
     # `limited_memory_max_history` (s, y) pairs in the Byrd–Nocedal–Schnabel
-    # compact form and materialized once per iteration. Dense backend only
-    # (a global low-rank correction has no stage-block structure for the
-    # Riccati core); "auto" backend selection routes lbfgs to dense. The
-    # middle option for user objectives with expensive exact curvature and
-    # no Gauss-Newton structure.
+    # compact form. On the dense backend it is materialized once per
+    # iteration; on the Riccati backend (r5) it stays in compact low-rank
+    # form — σI in the stage blocks plus a Sherman–Morrison–Woodbury
+    # correction threaded through the factored O(N) solve (2m extra RHS in
+    # one fused sweep + a (2m)² dense solve), so large-N L-BFGS keeps the
+    # O(N) factorization. The middle option for user objectives with
+    # expensive exact curvature and no Gauss-Newton structure.
     hessian_approximation: str = static_field(default="exact")
     # L-BFGS memory (static: sizes the pair buffers; MadNLP default 6).
     limited_memory_max_history: int = static_field(default=6)

@@ -148,13 +148,7 @@ def _lower_order1_td(problem: DirectTrajOptProblem) -> DirectTrajOptProblem:
     return problem.replace(integrators=tuple(integs))
 
 
-def _make_ops(nlp, backend: str, force_dense: bool = False):
-    if force_dense and backend == "riccati":
-        raise ValueError(
-            "hessian_approximation='lbfgs' requires the dense backend"
-        )
-    if force_dense:
-        backend = "dense"
+def _make_ops(nlp, backend: str):
     if backend in ("auto", "riccati"):
         from .ops_riccati import RiccatiOps, analyze
 
@@ -191,10 +185,7 @@ def _solve_impl(
     Z0 = problem.trajectory.to_zvec()
     res = ipm_solve(
         nlp, Z0, options,
-        ops=_make_ops(
-            nlp, backend,
-            force_dense=options.hessian_approximation == "lbfgs",
-        ),
+        ops=_make_ops(nlp, backend),
         callbacks=callbacks, warm=warm,
     )
     new_traj = problem.trajectory.from_zvec(res.Z)

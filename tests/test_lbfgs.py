@@ -56,7 +56,70 @@ def test_lbfgs_batched_and_jitted():
     assert np.asarray(res.converged).all()
 
 
-def test_lbfgs_rejects_riccati_backend():
+def test_lbfgs_riccati_matches_dense():
+    """Compact L-BFGS on the Riccati backend (VERDICT r4 #6): the low-rank
+    model rides the O(N) factorization as an SMW correction (2m extra RHS +
+    a (2m)^2 solve) instead of densifying. Riccati and dense backends must
+    agree on the solution (same optimization path up to roundoff: identical
+    quasi-Newton model, different linear algebra)."""
     prob = make_cartpole_problem(N=30, seed=0)
-    with pytest.raises(ValueError, match="dense backend"):
-        dtx.solve(prob, hessian_approximation="lbfgs", backend="riccati")
+    # tol 1e-5: both backends plateau at kkt ~6e-6 on this problem (L-BFGS
+    # linear local rate) — and agree there to 5 significant digits
+    kw = dict(
+        tol=1e-5, max_iter=300, hessian_approximation="lbfgs",
+        limited_memory_max_history=10,
+    )
+    rd = dtx.solve(prob, backend="dense", **kw)
+    rr = dtx.solve(prob, backend="riccati", **kw)
+    assert bool(rd.converged) and bool(rr.converged), (
+        int(rd.iterations), float(rd.kkt_error),
+        int(rr.iterations), float(rr.kkt_error),
+    )
+    Zd = np.asarray(rd.problem.trajectory.to_zvec())
+    Zr = np.asarray(rr.problem.trajectory.to_zvec())
+    # same optimum to solver tolerance (iteration paths may differ in ulps)
+    assert np.sqrt(np.mean((Zd - Zr) ** 2)) < 1e-4
+
+
+def test_lbfgs_riccati_step_agreement():
+    """One-step check: from the same iterate, the SMW-corrected Riccati KKT
+    step equals the dense factorization's step with the materialized L-BFGS
+    Hessian — validates the SMW algebra (incl. the resolve sign convention)
+    directly, not just the converged endpoint."""
+    from directtrajopt_tpu.solvers.canonical import make_nlp
+    from directtrajopt_tpu.solvers.ipm import _lbfgs_compact, _lbfgs_hessian
+    from directtrajopt_tpu.solvers.ops_dense import DenseOps
+    from directtrajopt_tpu.solvers.ops_riccati import RiccatiOps
+    from directtrajopt_tpu.solvers.options import IPMOptions
+
+    prob = make_cartpole_problem(N=12, seed=1)
+    nlp = make_nlp(prob)
+    rng = np.random.default_rng(0)
+    Z = nlp.apply_pins(jnp.asarray(prob.trajectory.to_zvec()))
+    lam = jnp.asarray(rng.normal(size=nlp.n_eq) * 0.1)
+    nu = jnp.zeros((nlp.n_in,))
+    m = 4
+    S = jnp.asarray(rng.normal(size=(m, nlp.z_dim)) * 0.01)
+    Y = S * 2.0 + jnp.asarray(rng.normal(size=(m, nlp.z_dim)) * 0.001)
+    count = jnp.asarray(m, jnp.int32)
+
+    Sig = jnp.full((nlp.z_dim,), 0.1) * nlp.free_mask
+    D = jnp.full((nlp.n_in,), 0.5)
+    g_hat = jnp.asarray(rng.normal(size=nlp.z_dim)) * nlp.free_mask
+    rhs_c = jnp.asarray(rng.normal(size=nlp.n_eq) * 0.1)
+    opt = IPMOptions()
+
+    ctx_d = DenseOps(nlp).prepare(Z, lam, nu, skip_hessian=True)
+    ctx_d.set_hessian(_lbfgs_hessian(S, Y, count))
+    dZ_d, lam_d, ok_d, _, _ = ctx_d.kkt_step(
+        Sig, D, g_hat, rhs_c, jnp.zeros(()), opt
+    )
+    ctx_r = RiccatiOps(nlp).prepare(Z, lam, nu, skip_hessian=True)
+    ctx_r.set_lbfgs(*_lbfgs_compact(S, Y, count))
+    dZ_r, lam_r, ok_r, _, _ = ctx_r.kkt_step(
+        Sig, D, g_hat, rhs_c, jnp.zeros(()), opt
+    )
+    assert bool(ok_d) and bool(ok_r)
+    np.testing.assert_allclose(
+        np.asarray(dZ_r), np.asarray(dZ_d), rtol=1e-6, atol=1e-8
+    )
