@@ -129,6 +129,10 @@ def headline_config(on_tpu: bool, batch: int | None = None) -> dict:
         phases=((2, None), (6, None)),
         chunk=CONT,
         carry_duals=True,
+        # warm in-basin Newton tail: the "auto" policy's spectral stage
+        # clipping is counterproductive here (its ε floor caps the endgame
+        # around 1e-7) — run the plain inertia ladder
+        hessian_regularization="inertia",
     )
     if on_tpu:
         polish_kw["compensated_residuals"] = True

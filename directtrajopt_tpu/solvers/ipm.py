@@ -353,7 +353,8 @@ def _ipm_solve_inner(nlp, Z0, options, ops, callbacks, warm=None) -> IPMResult:
     gn = options.hessian_approximation == "gauss_newton"
     sw = (
         options.hessian_regularization
-        if options.hessian_regularization in ("stagewise", "project", "flip")
+        if options.hessian_regularization
+        in ("stagewise", "project", "flip", "floor")
         else False
     )
     lbfgs = options.hessian_approximation == "lbfgs"

@@ -168,6 +168,17 @@ def _stage_project(Q, mode: str, eps_rel: float = 1e-6):
       Nocedal–Wright §3.4 eigenvalue modification)
     * ``"flip"``    — λ → max(|λ|, ε)  (saddle-free-Newton style: negative
       directions keep their magnitude but point downhill)
+    * ``"floor"``   — λ → max(λ, ε) for λ > −ε, unchanged for λ ≤ −ε:
+      raise only the NEAR-ZERO eigenvalues (the gauge-valley pathology the
+      δ-floor probe cannot see — a +1e-7 eigenvalue passes the Cholesky
+      test and the Newton step along it explodes) while leaving clearly
+      negative curvature alone for the certified δ_w inertia ladder.
+      Measured (r5): this selective clip does NOT retain "project"'s
+      gauge-valley win (family med 116 iterations vs project's 22 — the
+      win evidently needs the negative-eigenvalue modification too) and
+      still regresses the goal fixtures (stuck at 3.2e-3 — their optimum
+      carries the near-zero stage eigenvalue the floor perturbs), so it
+      stays an experimental mode documented for completeness.
 
     ε = eps_rel · max_k λ_max(Q_k) keeps the modified block invertible on a
     common scale. Batched eigh on (N, d, d) — QR-iteration-slow on TPU, so
@@ -177,10 +188,12 @@ def _stage_project(Q, mode: str, eps_rel: float = 1e-6):
     Qs = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))
     lam, V = jnp.linalg.eigh(Qs)
     eps = eps_rel * jnp.maximum(jnp.max(jnp.abs(lam)), 1e-30)
-    lam_m = (
-        jnp.maximum(jnp.abs(lam), eps) if mode == "flip"
-        else jnp.maximum(lam, eps)
-    )
+    if mode == "flip":
+        lam_m = jnp.maximum(jnp.abs(lam), eps)
+    elif mode == "floor":
+        lam_m = jnp.where(lam > -eps, jnp.maximum(lam, eps), lam)
+    else:
+        lam_m = jnp.maximum(lam, eps)
     return jnp.einsum("...ij,...j,...kj->...ik", V, lam_m, V)
 
 
@@ -1077,7 +1090,7 @@ class _RiccatiCtx:
         # is why this is an opt-in mode, not the default.
         sw_mode = getattr(self, "stagewise", False)
         sw_shift = None
-        if sw_mode in ("project", "flip"):
+        if sw_mode in ("project", "flip", "floor"):
             # spectral modification of the full stage blocks (δ_w-independent
             # — do it once, outside the retry ladder), BEFORE slicing the
             # (s, v) sub-blocks so the factorization sees the modified Q

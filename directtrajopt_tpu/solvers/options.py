@@ -143,11 +143,22 @@ class IPMOptions:
     # asymmetry repeats: cartpole "stagewise" 9 → 41 iterations (always-on
     # shift damps productive Newton steps) but "project" only 9 → 11 (the
     # clip is identity on PD stages, the +2 is the ε floor on its
-    # near-singular stages). Still opt-in: the eigh costs real time per
-    # iteration on TPU (QR iterations, no MXU) and "inertia" matches Ipopt's
-    # published behavior; "project" is the recommended knob when an exact-
-    # mode solve shows a 3×+ iteration gap vs gauss_newton.
-    hessian_regularization: str = static_field(default="inertia")
+    # near-singular stages). "floor": experimental selective clip (raise
+    # only near-zero eigenvalues) — measured NOT to retain project's win,
+    # see ops_riccati._stage_project.
+    # "auto" (default, r5): resolved at solve dispatch, currently always to
+    # "inertia". The r4 open question — is project's iteration win worth
+    # its per-iteration cost as a default? — was answered by measurement
+    # this round: on-chip project costs 41.4 ms/lockstep-iter vs inertia's
+    # 5.96 (7×, per-stage eigh has no MXU path), wins ONLY on free-time
+    # regulator families (med 21 vs 89 iterations with 30% inertia
+    # non-convergence), and as a default regresses everything adjacent:
+    # goal/infidelity objectives grind (25 iters → stuck at 3e-3),
+    # strict-tol endgames cap near its ε floor, and the modified model can
+    # change the basin — breaking riccati≡dense agreement. Full data and
+    # the explicit-opt-in guidance live at the resolution site
+    # (solve.py::_solve_impl).
+    hessian_regularization: str = static_field(default="auto")
     # Mixed-precision residual refinement (static: changes the traced graph).
     # When the solve dtype is f32, evaluate the cancellation-limited
     # quantities — c_eq/c_in, ∇f, the dual residual ∇f+Jᵀλ+Jᵀν−zL+zU, the

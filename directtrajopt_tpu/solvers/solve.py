@@ -183,9 +183,33 @@ def _solve_impl(
     )
     nlp = make_nlp(lowered)
     Z0 = problem.trajectory.to_zvec()
+    ops = _make_ops(nlp, backend)
+    if options.hessian_regularization == "auto":
+        # Resolved conservatively to "inertia" (r5). The alternative —
+        # per-stage spectral projection — was measured on-chip this round
+        # (B=64, N=51, f32, fixed 12-iteration runs): project costs
+        # 41.4 ms/lockstep-iter vs inertia's 5.96 (7×, the per-stage eigh
+        # has no MXU path) and repays it on exactly one family, free-time
+        # regulators, where inertia's δ-floor probe cannot see the gauge
+        # valley (med 89 iterations with 19/64 lanes never converging at a
+        # 100-iteration cap, vs project's med 21 at full convergence). As a
+        # DEFAULT it loses everywhere else, in ways a static policy cannot
+        # fence off: problems whose optimum carries indefinite or
+        # near-singular stage curvature grind permanently (goal fixtures
+        # 25 iterations → stuck at 3e-3; X-gate infidelity converged →
+        # stuck at 2.4e-3; binding duration-range bounds re-create the same
+        # pathology inside the regulator family), strict-tolerance endgames
+        # cap near the clip's ε floor (N=201 regulator 2.97e-8 vs tol
+        # 1e-8), and — decisive for a backend-dependent default — the
+        # modified model can change the basin, breaking riccati≡dense
+        # agreement (promotion fixture: 0.59 apart at tol 1e-10, both
+        # "converged"). Pass hessian_regularization="project" explicitly
+        # for free-time regulator families solved at working tolerances
+        # (1e-5..1e-6), where it is the only mode with full convergence.
+        options = options.replace(hessian_regularization="inertia")
     res = ipm_solve(
         nlp, Z0, options,
-        ops=_make_ops(nlp, backend),
+        ops=ops,
         callbacks=callbacks, warm=warm,
     )
     new_traj = problem.trajectory.from_zvec(res.Z)
@@ -668,6 +692,8 @@ def solve_polished(
         # inside the bounds, destroying the start the f32 phase paid for
         bound_push=1e-9,
         bound_frac=1e-9,
+        # in-basin Newton tail: always plain inertia (see solve_batch_polished)
+        hessian_regularization="inertia",
     )
     return solve_jit(prob64, opts64, backend=backend, callbacks=callbacks, warm=warm)
 
@@ -705,6 +731,10 @@ def solve_batch_polished(
         mu_init=polish_mu_init,
         bound_push=1e-9,
         bound_frac=1e-9,
+        # in-basin Newton tail: "auto"→"project" stage clipping would bias
+        # the direction via its ε floor and cap the endgame around 1e-7
+        # (measured: one N=11 lane 5.4e-8 vs 1e-9) — always plain inertia
+        hessian_regularization="inertia",
     )
     return solve_batch(prob64, opts64, backend=backend, warm=warm)
 

@@ -488,3 +488,27 @@ def test_project_hessian_regularization():
         int(r_pr.iterations),
         int(r_in.iterations),
     )
+
+
+def test_hessian_regularization_auto_and_floor():
+    """"auto" (the r5 default) resolves to the certified inertia ladder —
+    including under jit — and the experimental "floor"/"flip" spectral
+    modes run end-to-end on the Riccati backend. The measured tradeoff
+    data behind the conservative auto resolution lives in
+    solve.py::_solve_impl."""
+    from directtrajopt_tpu.benchmarks import make_bilinear_problem
+
+    prob = make_bilinear_problem(N=10, seed=0, free_time=False,
+                                 goal_objective=50.0)
+    r_auto = dtx.solve(prob, tol=1e-9, max_iter=300)
+    r_inertia = dtx.solve(prob, tol=1e-9, max_iter=300,
+                          hessian_regularization="inertia")
+    assert bool(r_auto.converged) and bool(r_inertia.converged)
+    assert int(r_auto.iterations) == int(r_inertia.iterations)
+
+    prob_ft = make_bilinear_problem(N=10, seed=1, free_time=True,
+                                    feasible_start=True)
+    for mode in ("floor", "flip"):
+        r = dtx.solve(prob_ft, tol=1e-6, max_iter=300,
+                      hessian_regularization=mode, backend="riccati")
+        assert bool(r.converged), (mode, float(r.kkt_error))
