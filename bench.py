@@ -208,7 +208,12 @@ def main():
     jax.config.update(
         "jax_compilation_cache_dir",
         host_cache_dir(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+            os.environ.get(
+                "DTX_CACHE_DIR",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+                ),
+            )
         ),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -263,7 +268,13 @@ def main():
         res.kkt_error.block_until_ready()
         return time.time() - t0, int(np.asarray(res.converged).sum()), res, res_seek
 
-    # warm up / compile both stages
+    # warm up / compile both stages. True cold (empty persistent cache) is
+    # the tunnel-server XLA compile of two ~45k-primitive programs —
+    # measured 19.9 s (GN seek) + 40.1 s (exact-Hessian polish) + ~5 s
+    # tracing; `python tools/warm_cache.py` pays it once ahead of time,
+    # after which this step is a ~15 s cache deserialization. (A threaded
+    # concurrent-compile variant was measured and REVERTED: two parallel
+    # compile RPCs through the tunnel thrash to 344 s total.)
     t0 = time.time()
     run(variants[0])
     compile_s = time.time() - t0

@@ -61,21 +61,29 @@ if on_tpu:
 N, dim, B = {N}, {dim}, {B_cell}
 probs = [make_scaled_problem(N=N, state_dim=dim, seed=42 + i) for i in range(B)]
 batch = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *probs)
+# UNCAPPED schedule (VERDICT r4 #10): the old 50-iteration cap measured
+# capped iteration throughput on the hard dim>=8 random-G cells (17/128
+# converged at N=51/dim=16), not solving. The compact straggler phases now
+# run to a 378-iteration total budget so the per-solve wall is a genuine
+# time-to-solution whenever conv>=90%.
 def run_cell(b):
     if on_tpu:
-        return solve_batch_compact(b, phases=((20, None), (30, 1e-3)),
-                                   chunk=128, **kwargs)
-    return solve_batch(b, max_iter=50, **kwargs)
+        return solve_batch_compact(
+            b, phases=((20, None), (30, 1e-3), (72, 1e-3), (256, 1e-3)),
+            chunk=128, **kwargs)
+    return solve_batch(b, max_iter=378, **kwargs)
 t0 = time.time()
 res = run_cell(batch)
 np.asarray(res.kkt_error)
 compile_s = time.time() - t0
 t0 = time.time()
 res = run_cell(batch)
-np.asarray(res.kkt_error)
+it = np.asarray(res.iterations)
 wall = time.time() - t0
 print(json.dumps(dict(wall=wall, compile_s=compile_s,
-                      conv=int(np.asarray(res.converged).sum()))))
+                      conv=int(np.asarray(res.converged).sum()),
+                      it_med=float(np.median(it)),
+                      it_p90=float(np.percentile(it, 90)))))
 """
     try:
         r = subprocess.run(
@@ -116,24 +124,33 @@ def main():
             continue
         per_solve = out["wall"] / B_cell
         conv = out["conv"]
-        spd = (ref / per_solve) if ref else None
+        # a cell only counts as SOLVED (and its per-solve wall as a true
+        # time-to-solution) when >=90% of lanes reach the acceptable level
+        solved90 = conv >= 0.9 * B_cell
+        spd = (ref / per_solve) if (ref and solved90) else None
         rows.append(
-            (N, dim, per_solve, conv, B_cell, ref, spd, out["compile_s"])
+            (N, dim, per_solve, conv, B_cell, ref, spd, out["compile_s"],
+             out["it_med"], out["it_p90"], solved90)
         )
         ref_s = f"ref Ipopt {ref}s" if ref else "no ref cell"
         print(
             f"N={N} dim={dim}: {per_solve*1000:.1f} ms/solve "
-            f"({conv}/{B_cell} conv, {ref_s}, "
+            f"({conv}/{B_cell} conv, it med/p90 {out['it_med']:.0f}/"
+            f"{out['it_p90']:.0f}, {ref_s}, "
             f"{f'{spd:.0f}x' if spd else 'n/a'})",
             file=sys.stderr,
         )
 
-    print("| N | dim | ms/solve (batched) | conv | ref Ipopt s | speedup |")
-    print("|--:|--:|--:|--:|--:|--:|")
-    for N, dim, per, conv, B_, ref, spd, _ in rows:
+    print("| N | dim | ms/solve (uncapped) | conv | it med/p90 | "
+          "ref Ipopt s | speedup |")
+    print("|--:|--:|--:|--:|--:|--:|--:|")
+    for N, dim, per, conv, B_, ref, spd, _, im, ip, s90 in rows:
         per_s = f"{per*1000:.1f}" if per is not None else "crash"
+        if per is not None and not s90:
+            per_s += " (<90% conv)"
+        it_s = f"{im:.0f}/{ip:.0f}" if per is not None else "—"
         print(
-            f"| {N} | {dim} | {per_s} | {conv}/{B_} | "
+            f"| {N} | {dim} | {per_s} | {conv}/{B_} | {it_s} | "
             f"{ref if ref else '—'} | {f'{spd:.0f}x' if spd else '—'} |"
         )
 

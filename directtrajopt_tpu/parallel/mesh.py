@@ -108,6 +108,8 @@ def solve_batch_compact_sharded(
     phases: tuple = ((14, None), (12, 1e-3), (24, 1e-3), (64, 1e-3)),
     chunk: int = 128,
     backend: str = "auto",
+    warm=None,
+    carry_duals: bool = False,
     **kwargs: Any,
 ) -> "SolveResult":
     """Sharded multi-phase compacting solve: each device runs the full
@@ -117,6 +119,12 @@ def solve_batch_compact_sharded(
     exactly like :func:`solve_batch_sharded`. The per-device batch must be a
     multiple of nothing in particular (chunks pad), but throughput is best
     at ≥ ``chunk`` lanes per device.
+
+    ``warm``/``carry_duals`` mirror ``solve_batch_compact`` (r5): a batched
+    WarmStart (sharded along the batch axis here) for phase 1, and per-lane
+    best-KKT dual carry into later phases — together they make the
+    certified-quality polish stage (bench.py ``run_headline``) runnable
+    multi-chip with the same zero-collective property.
     """
     options = _merge_options(options, kwargs)
     mesh = mesh or make_mesh(axis_name=axis_name)
@@ -124,12 +132,17 @@ def solve_batch_compact_sharded(
     fn = _sharded_compact_runner(
         backend, tuple(phases), chunk, axis_name,
         tuple(mesh.devices.flat),
+        carry_duals, warm is not None,
     )
+    if warm is not None:
+        warm = shard_batch(warm, mesh, axis_name)
+        return fn(batch, options, warm)
     return fn(batch, options)
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_compact_runner(backend, phases, chunk, axis_name, devices):
+def _sharded_compact_runner(backend, phases, chunk, axis_name, devices,
+                            carry_duals=False, has_warm=False):
     """Cached jitted shard_map program.
 
     Rebuilding the shard_map closure per call makes every invocation a fresh
@@ -142,18 +155,28 @@ def _sharded_compact_runner(backend, phases, chunk, axis_name, devices):
     from ..solvers.solve import _compact_body
 
     mesh = Mesh(np.asarray(devices), (axis_name,))
-    body = _compact_body(backend, phases, chunk)
+    body = _compact_body(backend, phases, chunk, carry_duals)
     spec_b = P(axis_name)
-    fn = jax.shard_map(
-        lambda b, o: body(b, o, None),
-        mesh=mesh,
-        in_specs=(spec_b, P()),
-        out_specs=spec_b,
-        # the compact body's scan carries mix device-varying values with
-        # replicated zero-inits; the program is embarrassingly parallel, so
-        # skip the varying-manual-axes check instead of sprinkling pcasts
-        check_vma=False,
-    )
+    if has_warm:
+        fn = jax.shard_map(
+            lambda b, o, w: body(b, o, w),
+            mesh=mesh,
+            in_specs=(spec_b, P(), spec_b),
+            out_specs=spec_b,
+            check_vma=False,
+        )
+    else:
+        fn = jax.shard_map(
+            lambda b, o: body(b, o, None),
+            mesh=mesh,
+            in_specs=(spec_b, P()),
+            out_specs=spec_b,
+            # the compact body's scan carries mix device-varying values with
+            # replicated zero-inits; the program is embarrassingly parallel,
+            # so skip the varying-manual-axes check instead of sprinkling
+            # pcasts
+            check_vma=False,
+        )
     return jax.jit(fn)
 
 

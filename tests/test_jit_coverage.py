@@ -156,8 +156,11 @@ def test_time_dependent_integrator_through_jitted_batch():
     )
     for order in (0, 1):
         G = lambda u, t: jnp.asarray(G0) + u[0] * (1.0 + 0.1 * t) * jnp.asarray(G1)
+        # n_steps=4: this test checks TRACEABILITY (vmap+jit), not
+        # integration accuracy — the shorter RK4 chain halves the traced
+        # graph and its compile time
         td = dtx.TimeDependentBilinearIntegrator.create(
-            G, "x", "u", "t", traj, spline_order=order, n_steps=8
+            G, "x", "u", "t", traj, spline_order=order, n_steps=4
         )
         prob = dtx.DirectTrajOptProblem.create(
             traj, dtx.QuadraticRegularizer.create("u", traj, 1.0), td

@@ -148,3 +148,33 @@ def test_sharded_compact_equals_unsharded():
     np.testing.assert_array_equal(
         np.asarray(res.iterations), np.asarray(ref.iterations)
     )
+
+
+def test_sharded_compact_warm_carry_equals_unsharded():
+    """The certified-pipeline polish stage (warm batched duals + carry_duals
+    straggler threading) runs under shard_map with device-local compaction
+    and matches the unsharded solver lane-for-lane (r5)."""
+    from directtrajopt_tpu.benchmarks import make_batched_bilinear_problems
+    from directtrajopt_tpu.parallel import solve_batch_compact_sharded
+
+    B = 2 * len(jax.devices())
+    batch = make_batched_bilinear_problems(B, N=10, feasible_start=True)
+    mesh = make_mesh()
+    seek = dtx.solve_batch_compact(
+        batch, phases=((3, None), (60, 1e-2)), chunk=2, tol=1e-6,
+        hessian_approximation="gauss_newton",
+    )
+    warm = seek.ipm.state.best_kkt_warm
+    kw = dict(
+        phases=((2, None), (30, None)), chunk=2, tol=1e-7,
+        acceptable_tol=1e-7, mu_init=1e-5, bound_push=1e-9, bound_frac=1e-9,
+        carry_duals=True,
+    )
+    res = solve_batch_compact_sharded(
+        seek.problem, mesh=mesh, warm=warm, **kw
+    )
+    ref = dtx.solve_batch_compact(seek.problem, warm=warm, **kw)
+    np.testing.assert_array_equal(np.asarray(res.ipm.Z), np.asarray(ref.ipm.Z))
+    np.testing.assert_array_equal(
+        np.asarray(res.converged), np.asarray(ref.converged)
+    )

@@ -10,6 +10,7 @@ refined solve genuinely converges at strict tolerance, verified by an
 mode is a no-op for f64 solves.
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -70,10 +71,17 @@ def test_incremental_multiplier_identity():
     for ops in (DenseOps(nlp), RiccatiOps(nlp)):
         ctx = ops.prepare(Z, lam, nu)
         shift = nlp.free_mask * ctx.JeT(lam)
-        dZ1, lp1, ok1, _, _ = ctx.kkt_step(Sig, D, g, -rc, jnp.zeros(()), opt)
-        dZ2, lp2, ok2, _, _ = ctx.kkt_step(
-            Sig, D, g + shift, -rc, jnp.zeros(()), opt
-        )
+
+        # jit the step: eager execution dispatches the whole factor sweep
+        # op-by-op (~45 s for the two backends); one small compile + a
+        # cache-hit second call runs in ~10 s
+        @jax.jit
+        def step(g_):
+            dZ, lp, ok, _, _ = ctx.kkt_step(Sig, D, g_, -rc, jnp.zeros(()), opt)
+            return dZ, lp, ok
+
+        dZ1, lp1, ok1 = step(g)
+        dZ2, lp2, ok2 = step(g + shift)
         assert bool(ok1) and bool(ok2)
         assert float(jnp.max(jnp.abs(dZ1 - dZ2))) < 1e-6
         assert float(jnp.max(jnp.abs((lam + lp2) - lp1))) < 1e-5
