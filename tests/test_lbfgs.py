@@ -109,16 +109,24 @@ def test_lbfgs_riccati_step_agreement():
     rhs_c = jnp.asarray(rng.normal(size=nlp.n_eq) * 0.1)
     opt = IPMOptions()
 
-    ctx_d = DenseOps(nlp).prepare(Z, lam, nu, skip_hessian=True)
-    ctx_d.set_hessian(_lbfgs_hessian(S, Y, count))
-    dZ_d, lam_d, ok_d, _, _ = ctx_d.kkt_step(
-        Sig, D, g_hat, rhs_c, jnp.zeros(()), opt
-    )
-    ctx_r = RiccatiOps(nlp).prepare(Z, lam, nu, skip_hessian=True)
-    ctx_r.set_lbfgs(*_lbfgs_compact(S, Y, count))
-    dZ_r, lam_r, ok_r, _, _ = ctx_r.kkt_step(
-        Sig, D, g_hat, rhs_c, jnp.zeros(()), opt
-    )
+    # jit each backend's step: eager execution dispatches the whole factor
+    # sweep op-by-op (tens of seconds); compiled it runs in a fraction
+    @jax.jit
+    def dense_step(g_):
+        ctx_d = DenseOps(nlp).prepare(Z, lam, nu, skip_hessian=True)
+        ctx_d.set_hessian(_lbfgs_hessian(S, Y, count))
+        dZ, lp, ok, _, _ = ctx_d.kkt_step(Sig, D, g_, rhs_c, jnp.zeros(()), opt)
+        return dZ, lp, ok
+
+    @jax.jit
+    def ricc_step(g_):
+        ctx_r = RiccatiOps(nlp).prepare(Z, lam, nu, skip_hessian=True)
+        ctx_r.set_lbfgs(*_lbfgs_compact(S, Y, count))
+        dZ, lp, ok, _, _ = ctx_r.kkt_step(Sig, D, g_, rhs_c, jnp.zeros(()), opt)
+        return dZ, lp, ok
+
+    dZ_d, lam_d, ok_d = dense_step(g_hat)
+    dZ_r, lam_r, ok_r = ricc_step(g_hat)
     assert bool(ok_d) and bool(ok_r)
     np.testing.assert_allclose(
         np.asarray(dZ_r), np.asarray(dZ_d), rtol=1e-6, atol=1e-8

@@ -158,15 +158,15 @@ def test_sharded_compact_warm_carry_equals_unsharded():
     from directtrajopt_tpu.parallel import solve_batch_compact_sharded
 
     B = 2 * len(jax.devices())
-    batch = make_batched_bilinear_problems(B, N=10, feasible_start=True)
+    batch = make_batched_bilinear_problems(B, N=8, feasible_start=True)
     mesh = make_mesh()
     seek = dtx.solve_batch_compact(
-        batch, phases=((3, None), (60, 1e-2)), chunk=2, tol=1e-6,
+        batch, phases=((3, None), (40, 1e-2)), chunk=2, tol=1e-6,
         hessian_approximation="gauss_newton",
     )
     warm = seek.ipm.state.best_kkt_warm
     kw = dict(
-        phases=((2, None), (30, None)), chunk=2, tol=1e-7,
+        phases=((2, None), (12, None)), chunk=2, tol=1e-7,
         acceptable_tol=1e-7, mu_init=1e-5, bound_push=1e-9, bound_frac=1e-9,
         carry_duals=True,
     )

@@ -270,13 +270,14 @@ def test_td_accuracy_guard_at_solution():
         timestep="dt",
         controls="u",
     )
-    # stiffness rises steeply with |u|: benign at the initial u=0.05,
-    # under-integrated (with n_steps=10) once u is pushed to 3
+    # stiffness rises steeply with |u|: benign at the initial u=0.05
+    # (estimate 2e-7), under-integrated once u is pushed to 3 (7e-2).
+    # n_steps=6 keeps the unrolled RK4 chain (and its compile) small.
     G = lambda u, t: (
         (0.3 + 4.0 * u[0] ** 2) * jnp.sin(8.0 * t) * jnp.asarray(G_DRIFT)
     )
     td = dtx.TimeDependentBilinearIntegrator.create(
-        G, "x", "u", "t", traj, spline_order=0, n_steps=10
+        G, "x", "u", "t", traj, spline_order=0, n_steps=6
     )
     from directtrajopt_tpu.integrators import td_integration_error
 
