@@ -101,7 +101,7 @@ print(json.dumps(dict(wall=wall, compile_s=compile_s,
     return _json.loads(line), None
 
 
-def _wait_for_tpu_worker(max_wait_s: float = 600.0) -> None:
+def _wait_for_tpu_worker(max_wait_s: float = 1500.0) -> None:
     """Block until the (tunneled) TPU worker answers a tiny computation.
 
     A dim=16 cell crash kills the shared worker; it recovers after a
@@ -150,6 +150,7 @@ def main():
     cells += [(N, 16) for N in (25, 51, 101)]
     for N, dim in cells:
         _wait_for_tpu_worker()
+        attempts = 0
         B_cell = B if N <= 101 else max(32, B // (2 if N <= 201 else 4))
         if dim >= 8:
             # dim>=8 at large B hard-crashes the TPU worker (see
@@ -157,6 +158,15 @@ def main():
             # dim=8/B=256 crash too); scale with N and dim to bound HBM
             B_cell = min(B_cell, 128 if dim == 8 else (64 if N <= 51 else 32))
         out, err = _run_cell_subprocess(N, dim, B_cell)
+        # the tunnel worker intermittently dies mid-cell (kernel fault —
+        # observed even on configurations that succeeded in earlier runs):
+        # wait for recovery and retry the cell once before recording FAILED
+        while out is None and attempts < 1:
+            attempts += 1
+            print(f"N={N} dim={dim}: retrying after worker recovery ({err})",
+                  file=sys.stderr)
+            _wait_for_tpu_worker()
+            out, err = _run_cell_subprocess(N, dim, B_cell)
         ref = REFERENCE_IPOPT_S.get((N, dim))
         if out is None:
             print(f"N={N} dim={dim}: FAILED ({err})", file=sys.stderr)
