@@ -426,7 +426,7 @@ def test_stagewise_hessian_regularization():
     family (measured 110 → ~55 median at B=32; see options.py)."""
     from directtrajopt_tpu.benchmarks import make_batched_bilinear_problems
 
-    batch = make_batched_bilinear_problems(4, N=31, feasible_start=True)
+    batch = make_batched_bilinear_problems(4, N=21, feasible_start=True)
     batch32 = jax.tree.map(
         lambda x: x.astype(jnp.float32)
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
@@ -460,7 +460,7 @@ def test_project_hessian_regularization():
         make_cartpole_problem,
     )
 
-    batch = make_batched_bilinear_problems(4, N=31, feasible_start=True)
+    batch = make_batched_bilinear_problems(4, N=21, feasible_start=True)
     batch32 = jax.tree.map(
         lambda x: x.astype(jnp.float32)
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
