@@ -25,174 +25,43 @@ import time
 import numpy as np
 
 
-def _tpu_tunnel_alive(timeout_s: float = 180.0) -> bool:
-    """Probe the (axon-tunneled) TPU backend in a subprocess with a timeout.
-
-    ``jax.devices()`` blocks indefinitely when the tunnel is down; probing
-    in-process would hang the whole benchmark run. A dead tunnel downgrades
-    the run to CPU so the driver still gets its one JSON line."""
+def _wait_for_tpu_worker(max_wait_s: float = 1500.0) -> bool:
+    """Wait (bounded) for the tunneled TPU worker to answer a tiny
+    computation. The worker intermittently dies on large compiles (kernel
+    fault) and takes ~15 minutes to recover; benchmarking against a dead
+    worker records either a hang or a CPU fallback. Probes run in a
+    subprocess (a dead tunnel can hang jax.devices() in-process)."""
     import subprocess
-    import sys as _sys
+    import time as _time
 
-    try:
-        r = subprocess.run(
-            [_sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            capture_output=True,
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "assert float(jnp.sum(jnp.ones(8))) == 8.0"
+    )
+    deadline = _time.time() + max_wait_s
+    delay = 15.0
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, timeout=150
+            )
+            if r.returncode == 0:
+                return True
+        except Exception:
+            pass
+        if _time.time() > deadline:
+            return False
+        print(
+            f"TPU worker unavailable — retrying in {delay:.0f}s",
+            file=sys.stderr,
         )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
-def headline_config(on_tpu: bool, batch: int | None = None) -> dict:
-    """The EXACT headline benchmark configuration, importable so the
-    quality-gate test (`tests/test_bench_quality.py`) solves with the same
-    kwargs the throughput number is measured with — the headline claim is
-    tied to an external accuracy certificate, not a comment.
-
-    The headline is the CERTIFIED-QUALITY pipeline (r5): solutions must
-    match the independent scipy golden optimum to RMS(u) < 1e-4 (BASELINE
-    #1, the reference's cross-solver agreement bar) — measured 2.2e-9. Two
-    stages, both f32 on TPU, both straggler-compacted, run by
-    :func:`run_headline`:
-
-    1. **Seek** — Gauss-Newton IPM at the default (non-aggressive) barrier
-       schedule to tol=1e-6. The r4 headline's aggressive κ_ε=100/κ_μ=0.1
-       plunge + acceptable_tol=5e-4 band stop was ~30% faster here but its
-       endpoints are NOT in the Newton basin: solution error ~5e-3 RMS(u)
-       (the gauge-valley error scales like √kkt on the GN path), and a
-       subsequent polish from those points grinds 50+ iterations. The
-       default schedule reaches a genuine central-path 1e-6 point in
-       median ~15 iterations.
-    2. **Polish** — exact-Hessian IPM, warm-started per lane with the
-       seek's matched best-KKT slacks/duals (``carry_duals=True`` threads
-       them through the straggler phases), with error-free-transform f32
-       residual arithmetic (``compensated_residuals``) to certify
-       kkt ≤ 1e-7 without any f64 emulation. Median 1 iteration, p99 ≤ 4;
-       delivered quality RMS(u) = 2.2e-9 vs golden.
-
-    Returns ``{"N", "batch", "taylor_order", "phase1_kw", "polish_kw"}``
-    where the ``*_kw`` dicts are full kwargs for ``solve_batch_compact``.
-    """
-    N = 51
-    # B=8192/chunk=256 is the measured throughput plateau (r4, reconfirmed
-    # r5 for the certified pipeline: B=8192 8900/s, B=16384 8523/s,
-    # phase-1 chunk 512 8686/s)
-    BATCH = batch if batch is not None else (8192 if on_tpu else 8)
-    CONT = min(256, BATCH)
-    # Taylor order for the expv action: ‖Δt·G‖ ≤ 0.6 over the dt bounds, so
-    # order 6 truncates at ≤6e-6; the delivered-solution check vs the
-    # order-12 golden optimum (rms_u_vs_golden = 2.2e-9) certifies the
-    # truncation does not move the optimum. Golden/accuracy tests keep the
-    # order-12 default.
-    TAYLOR = 6 if on_tpu else 12
-    # Gauss-Newton Hessian (options.py: hessian_approximation): on this
-    # bilinear family GN both removes the dominant prepare-stage AD pass and
-    # cuts iterations — CPU f64 strict-tol profile over 8 seeds [48..137]
-    # (exact) → [17..21] (GN). GN alone cannot finish the job: it plateaus
-    # at kkt ~1e-7 with RMS(u) ~1.7e-4 (it never snaps into the optimum the
-    # way the exact-Hessian polish does), hence stage 2.
-    phase1_kw = dict(
-        tol=1e-6,
-        acceptable_tol=1e-6,
-        acceptable_iter=50,
-        mu_init=3e-2,
-        hessian_approximation="gauss_newton",
-        # phase schedule sized to the measured iteration distribution at
-        # tol=1e-6 (med 16 / p90 28 / p99 46 / max ~90 at B=256); straggler
-        # phases restart μ at 1e-2 primal-only
-        phases=(
-            ((20, None), (20, 1e-2), (96, 1e-2))
-            if on_tpu
-            else ((26, None), (64, 1e-2))
-        ),
-        chunk=CONT,
-    )
-    if on_tpu:
-        # trimmed trial grid (7 backtracking slots, +3% in r3) and NO
-        # SOC/restoration directions (max_soc=0, n_rest_trials=0): on this
-        # family the extra directions almost never win a trial, but their
-        # multi-RHS resolve costs a full factor-sweep pass per iteration.
-        # Keep SOC on for harder-constrained problem families.
-        phase1_kw.update(max_ls=7, n_rest_trials=0, max_soc=0)
-    # polish: certified tail. tol=1e-7 is the compensated-f32 residual
-    # floor (f64 CPU runs go to 1e-8, matching Ipopt's default tol).
-    # mu_init is nominal — the monotone barrier immediately re-derives μ
-    # from the warm point's complementarity.
-    polish_kw = dict(
-        tol=1e-7 if on_tpu else 1e-8,
-        acceptable_tol=1e-7 if on_tpu else 1e-8,
-        mu_init=1e-5,
-        bound_push=1e-9,
-        bound_frac=1e-9,
-        phases=((2, None), (6, None)),
-        chunk=CONT,
-        carry_duals=True,
-        # warm in-basin Newton tail: the "auto" policy's spectral stage
-        # clipping is counterproductive here (its ε floor caps the endgame
-        # around 1e-7) — run the plain inertia ladder
-        hessian_regularization="inertia",
-    )
-    if on_tpu:
-        polish_kw["compensated_residuals"] = True
-    return dict(
-        N=N, batch=BATCH, taylor_order=TAYLOR,
-        phase1_kw=phase1_kw, polish_kw=polish_kw,
-    )
-
-
-def run_headline(batch_problems, cfg):
-    """Run the certified two-stage headline pipeline on a (device-resident)
-    batched problem. Returns ``(res_polish, res_seek)`` — ``res_polish``
-    carries the certified convergence flags/KKT errors and the delivered
-    trajectories."""
-    from directtrajopt_tpu.solvers.solve import solve_batch_compact
-
-    res1 = solve_batch_compact(batch_problems, **cfg["phase1_kw"])
-    res2 = solve_batch_compact(
-        res1.problem,
-        warm=res1.ipm.state.best_kkt_warm,
-        **cfg["polish_kw"],
-    )
-    return res2, res1
-
-
-def rms_u_vs_golden(res, n_lanes: int | None = None) -> float:
-    """Max over lanes of RMS(u − u*_golden) for a solved N=51 benchmark
-    batch, where u* is the certified independent (scipy trust-constr, f64,
-    gtol=1e-10) optimum from ``tests/golden/bilinear_n51_seed42.npz``.
-
-    Every lane of ``make_batched_bilinear_problems`` poses the SAME
-    optimization problem from a different start (the per-lane data is the
-    initial guess; bounds/pins/objective are shared), so the certified
-    optimum control sequence applies to all lanes. This is BASELINE #1's
-    quality bar (reference RMS < 1e-4 cross-solver agreement,
-    `/root/reference/test/solver_test_utils.jl:105-132`) applied to the
-    exact headline configuration.
-    """
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tests", "golden", "bilinear_n51_seed42.npz",
-    )
-    data = np.load(path)
-    layout_N = int(data["N"])
-    Zg = np.asarray(data["Z_star"], dtype=np.float64)
-
-    layout = res.problem.trajectory.layout
-    sl = layout.comp_slice("u")
-    d = layout.dim
-    u_g = Zg[: layout_N * d].reshape(layout_N, d)[:, sl]
-    u = np.asarray(res.problem.trajectory.data["u"], dtype=np.float64)
-    if n_lanes is not None:
-        u = u[:n_lanes]
-    rms = np.sqrt(np.mean((u - u_g[None]) ** 2, axis=(1, 2)))
-    return float(rms.max())
+        _time.sleep(delay)
+        delay = min(delay * 2, 120.0)
 
 
 def main():
-    if not _tpu_tunnel_alive():
-        print("TPU tunnel unresponsive — falling back to CPU", file=sys.stderr)
+    if not _wait_for_tpu_worker():
+        print("TPU worker unresponsive — falling back to CPU", file=sys.stderr)
         os.environ["JAX_PLATFORMS"] = "cpu"  # read by the subprocess-free path
 
     import jax
